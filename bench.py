@@ -1,0 +1,99 @@
+"""Headline benchmark: GNS-10-128 rollout throughput on an RPF3D-scale system.
+
+Measures full autoregressive rollout steps (neighbor update + feature build +
+GNS forward + semi-implicit Euler integration) on 8,000 particles in 3D —
+the reference's heaviest GNS benchmark config (RPF 3D, reference
+docs/pages/baselines.rst: 30.5 ms/forward on an A6000 48GB, i.e. ~0.26M
+particle-steps/s; BASELINE.md). Prints one JSON line with particle-steps/s
+and the ratio vs that baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def run_bench(
+    n_particles: int = 8000,
+    dim: int = 3,
+    isl: int = 6,
+    n_steps: int = 50,
+    n_warmup: int = 2,
+    backend: str = "celllist",
+):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _grid_positions, _make_case_and_model
+
+    case, metadata, init_fn, apply_fn = _make_case_and_model(
+        n_particles, dim=dim, isl=isl, backend=backend
+    )
+
+    pos = _grid_positions(n_particles, dim, 1.0, isl)
+    ptype = np.zeros(n_particles, dtype=np.int32)
+
+    features, neighbors = case.allocate_eval((pos[:, :isl], ptype))
+    params, state = init_fn(jax.random.PRNGKey(0), (features, ptype))
+
+    # the production rollout shape: the whole horizon is ONE lax.scan on
+    # device (see evaluate/rollout.py), so per-step host dispatch overhead
+    # does not exist
+    @jax.jit
+    def rollout(params_, current, ptype, neighbors):
+        def step_fn(carry, _):
+            cur, ptype_, nbrs = carry
+            features, nbrs = case.preprocess_eval((cur, ptype_), nbrs)
+            out, _ = apply_fn(params_, {}, (features, ptype_))
+            next_pos = case.integrate(out, cur)
+            cur = jnp.concatenate([cur[:, 1:], next_pos[:, None]], axis=1)
+            return (cur, ptype_, nbrs), None
+
+        (current, _, neighbors), _ = jax.lax.scan(
+            step_fn, (current, ptype, neighbors), None, length=n_steps
+        )
+        return current, neighbors
+
+    current = jnp.asarray(pos[:, :isl], jnp.float32)
+    ptype_j = jnp.asarray(ptype)
+
+    # warmup / compile
+    cur_w, nbrs_w = rollout(params, current, ptype_j, neighbors)
+    jax.block_until_ready(cur_w)
+
+    n_repeats = 3
+    t0 = time.perf_counter()
+    for _ in range(n_repeats):
+        cur_w, nbrs_w = rollout(params, current, ptype_j, neighbors)
+    jax.block_until_ready(cur_w)
+    elapsed = (time.perf_counter() - t0) / n_repeats
+
+    assert not bool(nbrs_w.did_buffer_overflow), "bench rollout overflowed"
+    ms_per_step = elapsed / n_steps * 1e3
+    particle_steps_per_sec = n_particles * n_steps / elapsed
+
+    # reference: RPF 3D GNS-10-128 forward = 30.5 ms for 8,000 particles on
+    # an NVIDIA A6000 (docs/pages/baselines.rst) => 262,295 particle-steps/s
+    baseline = 8000 / 30.5e-3
+
+    return {
+        "metric": "rollout_particle_steps_per_sec_gns10_rpf3d_scale",
+        "value": round(particle_steps_per_sec, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(particle_steps_per_sec / baseline, 3),
+        "detail": {
+            "ms_per_rollout_step": round(ms_per_step, 3),
+            "n_particles": n_particles,
+            "edges_capacity": int(neighbors.idx.shape[1]),
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+if __name__ == "__main__":
+    result = run_bench()
+    print(json.dumps(result))

@@ -1,0 +1,96 @@
+"""Physical feature engineering: raw position windows -> model inputs.
+
+Produces the same FeatureDict contract as the reference (reference
+lagrangebench/case_setup/features.py:14-128 and models/base.py:20-40):
+
+    - "abs_pos"   (N, T, dim)   raw position window
+    - "vel_hist"  (N, K*dim)    normalized velocity history, K = T - 1
+    - "vel_mag"   (N, K)        velocity magnitudes (optional)
+    - "bound"     (N, 2*dim)    clipped distance to walls (only without PBC)
+    - "force"     (N, dim)      external force field (optional)
+    - "senders"   (E,)          edge sender indices (fill = N)
+    - "receivers" (E,)          edge receiver indices (fill = N)
+    - "rel_disp"  (E, dim)      displacement receiver<-sender, normalized by
+                                the connectivity radius
+    - "rel_dist"  (E, 1)        norm of rel_disp
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import space
+
+FeatureDict = Dict[str, jnp.ndarray]
+TargetDict = Dict[str, jnp.ndarray]
+
+
+def physical_feature_builder(
+    bounds: list,
+    normalization_stats: dict,
+    connectivity_radius: float,
+    displacement_fn: Callable,
+    pbc: List[bool],
+    magnitude_features: bool = False,
+    external_force_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build the feature transform closure.
+
+    Args:
+        bounds: per-dimension [lower, upper] bounds of the domain.
+        normalization_stats: velocity/acceleration mean/std dict.
+        connectivity_radius: radius of the interaction graph.
+        displacement_fn: boundary-aware displacement.
+        pbc: per-dimension periodicity flags.
+        magnitude_features: append velocity magnitudes.
+        external_force_fn: per-position external force (optional).
+    """
+    disp_vmap = jax.vmap(displacement_fn, in_axes=(0, 0))
+    disp_tvmap = jax.vmap(disp_vmap, in_axes=(0, 0))
+
+    vel_stats = normalization_stats["velocity"]
+    bounds_arr = jnp.asarray(bounds)
+    has_pbc = any(pbc)
+
+    def feature_transform(pos_input: jnp.ndarray, nbrs) -> FeatureDict:
+        """pos_input: (N, T, dim) position window; nbrs: NeighborList."""
+        features = {}
+        n = pos_input.shape[0]
+        most_recent = pos_input[:, -1]
+
+        vel_seq = disp_tvmap(pos_input[:, 1:], pos_input[:, :-1])  # (N, K, dim)
+        vel_seq_norm = (vel_seq - vel_stats["mean"]) / vel_stats["std"]
+
+        features["abs_pos"] = pos_input
+        features["vel_hist"] = vel_seq_norm.reshape(n, -1)
+
+        if magnitude_features:
+            features["vel_mag"] = jnp.linalg.norm(vel_seq_norm, axis=-1)
+
+        if not has_pbc:
+            # clipped, radius-normalized distances to the lower/upper walls
+            dist_lo = most_recent - bounds_arr[:, 0][None]
+            dist_hi = bounds_arr[:, 1][None] - most_recent
+            dist = jnp.concatenate([dist_lo, dist_hi], axis=1)
+            features["bound"] = jnp.clip(dist / connectivity_radius, -1.0, 1.0)
+
+        if external_force_fn is not None:
+            features["force"] = jax.vmap(external_force_fn)(most_recent)
+
+        receivers, senders = nbrs.idx
+        features["receivers"] = receivers
+        features["senders"] = senders
+
+        # padded edges (index N) gather with clamping -> zero displacement,
+        # same net effect as the reference's out-of-range gathers
+        edge_disp = disp_vmap(most_recent[receivers], most_recent[senders])
+        rel_disp = edge_disp / connectivity_radius
+        features["rel_disp"] = rel_disp
+        features["rel_dist"] = space.distance(rel_disp)[:, None]
+
+        return features
+
+    return feature_transform

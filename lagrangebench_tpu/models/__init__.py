@@ -1,0 +1,56 @@
+"""Model zoo and factory."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from ..config import Config
+from .base import BaseModel, make_model_fns
+from .gns import GNS
+from .linear import Linear
+
+__all__ = ["BaseModel", "GNS", "Linear", "make_model_fns", "setup_model"]
+
+
+def setup_model(
+    cfg_model: Config,
+    metadata: Dict,
+    has_external_force: bool = False,
+) -> Tuple[BaseModel, Callable, Callable]:
+    """Instantiate a model from config + dataset metadata.
+
+    Mirrors the reference's dispatch (reference lagrangebench/runner.py:192)
+    and returns ``(model, init_fn, apply_fn)`` where apply_fn has the
+    ``(params, state, sample) -> (output, state)`` signature the trainer and
+    rollout use.
+    """
+    name = cfg_model.name.lower()
+    dim = metadata["dim"]
+
+    if name == "gns":
+        model = GNS(
+            particle_dimension=dim,
+            latent_size=cfg_model.latent_dim,
+            blocks_per_step=cfg_model.num_mlp_layers,
+            num_mp_steps=cfg_model.num_mp_steps,
+            particle_type_embedding_size=16,
+        )
+    elif name == "linear":
+        model = Linear(dimension_out=dim)
+    elif name == "segnn":
+        from .segnn import build_segnn
+
+        model = build_segnn(cfg_model, metadata, has_external_force)
+    elif name == "egnn":
+        from .egnn import build_egnn
+
+        model = build_egnn(cfg_model, metadata)
+    elif name == "painn":
+        from .painn import build_painn
+
+        model = build_painn(cfg_model, metadata)
+    else:
+        raise ValueError(f"Unknown model {name!r}")
+
+    init_fn, apply_fn = make_model_fns(model)
+    return model, init_fn, apply_fn

@@ -1,0 +1,109 @@
+"""Model building blocks shared across architectures."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MLP(nn.Module):
+    """Plain MLP, optionally LayerNorm-terminated.
+
+    Matches the reference's `build_mlp` semantics (reference
+    lagrangebench/models/utils.py:100-115): `num_hidden_layers - 1` hidden
+    layers of width `latent_size`, a final linear to `output_size`, ReLU
+    activations, and LayerNorm after the output unless disabled.
+    """
+
+    latent_size: int
+    output_size: int
+    num_hidden_layers: int = 2
+    is_layer_norm: bool = True
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        widths = [self.latent_size] * (self.num_hidden_layers - 1) + [self.output_size]
+        for i, w in enumerate(widths):
+            x = nn.Dense(w)(x)
+            if i < len(widths) - 1:
+                x = self.activation(x)
+        if self.is_layer_norm:
+            x = nn.LayerNorm()(x)
+        return x
+
+
+class MLPXav(nn.Module):
+    """MLP with Xavier-uniform init and SiLU activations (SEGNN/EGNN/PaiNN
+    family; reference lagrangebench/models/utils.py:28-53)."""
+
+    output_sizes: Sequence[int]
+    use_bias: bool = True
+    activation: Callable = nn.silu
+    activate_final: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, w in enumerate(self.output_sizes):
+            x = nn.Dense(
+                w, use_bias=self.use_bias, kernel_init=nn.initializers.xavier_uniform()
+            )(x)
+            if i < len(self.output_sizes) - 1 or self.activate_final:
+                x = self.activation(x)
+        return x
+
+
+class LinearXav(nn.Module):
+    """Dense layer with Xavier-uniform init."""
+
+    output_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            self.output_size,
+            use_bias=self.use_bias,
+            kernel_init=nn.initializers.xavier_uniform(),
+        )(x)
+
+
+def concat_node_features(features: dict) -> jnp.ndarray:
+    """Concatenate available scalar node features in the canonical order."""
+    keys = [k for k in ("vel_hist", "vel_mag", "bound", "force") if k in features]
+    return jnp.concatenate([features[k] for k in keys], axis=-1)
+
+
+def concat_edge_features(features: dict) -> jnp.ndarray:
+    """Concatenate available edge features in the canonical order."""
+    keys = [k for k in ("rel_disp", "rel_dist") if k in features]
+    return jnp.concatenate([features[k] for k in keys], axis=-1)
+
+
+def features_2d_to_3d(features: dict) -> dict:
+    """Lift 2D vector features to 3D by zero-padding the z component."""
+    out = dict(features)
+    n_nodes = features["vel_hist"].shape[0]
+    n_vels = features["vel_hist"].shape[1]
+    out["vel_hist"] = jnp.concatenate(
+        [
+            features["vel_hist"].reshape(n_nodes, -1, 2),
+            jnp.zeros((n_nodes, n_vels // 2, 1), features["vel_hist"].dtype),
+        ],
+        axis=-1,
+    ).reshape(n_nodes, -1)
+    out["rel_disp"] = jnp.concatenate(
+        [
+            features["rel_disp"],
+            jnp.zeros((features["rel_disp"].shape[0], 1), features["rel_disp"].dtype),
+        ],
+        axis=-1,
+    )
+    for k in ("force",):
+        if k in features:
+            out[k] = jnp.concatenate(
+                [features[k], jnp.zeros((n_nodes, 1), features[k].dtype)], axis=-1
+            )
+    return out

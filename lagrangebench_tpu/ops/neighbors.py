@@ -1,0 +1,477 @@
+"""Fixed-capacity radius-graph neighbor search for TPU.
+
+Replaces the jax-md ``partition.neighbor_list`` stack used by the reference
+(reference lagrangebench/case_setup/case.py:120-130) with a TPU-first design:
+
+* **Static shapes everywhere.** The edge buffer is ``(2, E_cap)`` int32 with
+  out-of-range fill value ``N`` (one past the last particle), the same
+  convention the reference relies on for padded gathers. ``E_cap`` is chosen
+  once at ``allocate`` time (host-side) from the actual edge count times a
+  capacity multiplier, then rounded up to a lane-aligned multiple of 128.
+* **Overflow as data, not shape.** ``update`` is pure and jit-able; if the
+  true number of edges exceeds ``E_cap`` the ``did_buffer_overflow`` flag is
+  set and the caller re-allocates on the host (same escape hatch as the
+  reference's ``did_buffer_overflow`` retry loop).
+* **Receiver-major edge order.** Edges come out sorted by receiver, which
+  makes downstream ``segment_sum`` aggregations use the
+  ``indices_are_sorted`` fast path.
+
+Backends:
+    * ``allpairs`` — dense O(N^2) masked search. Perfectly regular compute,
+      surprisingly competitive on TPU for small N; also the fallback when the
+      box is too small for a 3x3(x3) cell stencil.
+    * ``celllist`` — O(N) binned search: bin particles into cells of side
+      >= cutoff, look at the 3^dim surrounding cells.
+    * ``pallas`` — hand-written TPU kernel (see ``neighbors_pallas.py``).
+
+Self-edges are kept (``mask_self=False`` in the reference) and padded
+particles (index >= num_particles) are excluded.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((int(x) + m - 1) // m) * m
+
+
+@struct.dataclass
+class NeighborList:
+    """Sparse fixed-capacity neighbor list.
+
+    Attributes:
+        idx: ``(2, E_cap)`` int32; row 0 = receivers, row 1 = senders (same
+            unpacking order as the reference feature builder, reference
+            lagrangebench/case_setup/features.py:110). Fill value is ``N``.
+        did_buffer_overflow: scalar bool; True if the capacity was exceeded
+            and the list must be re-allocated.
+        update_fn: static update closure (not a pytree leaf).
+    """
+
+    idx: jnp.ndarray
+    did_buffer_overflow: jnp.ndarray
+    update_fn: Callable = struct.field(pytree_node=False)
+
+    def update(self, position: jnp.ndarray, num_particles=None, **kwargs):
+        """Recompute edges at ``position`` reusing this list's capacity."""
+        return self.update_fn(position, self, num_particles=num_particles)
+
+    @property
+    def capacity(self) -> int:
+        return self.idx.shape[-1]
+
+
+class NeighborListFns(NamedTuple):
+    """allocate/update pair, mirroring the jax-md neighbor_fn interface.
+
+    ``allocate_shell`` additionally exposes capacity sizing without device
+    work, for callers that run the first update inside their own jit.
+    """
+
+    allocate: Callable
+    update: Callable
+    allocate_shell: Callable
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _compact_edges(
+    mask: jnp.ndarray,
+    receivers: jnp.ndarray,
+    senders: jnp.ndarray,
+    e_cap: int,
+    fill: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact masked (receiver, sender) pairs into a (2, e_cap) buffer.
+
+    Uses a cumulative-sum compaction: each true mask element computes its
+    output slot; everything else scatters out of bounds and is dropped.
+    Input must already be receiver-major for sorted output.
+
+    Returns (idx, n_edges).
+    """
+    flat_mask = mask.reshape(-1)
+    slots = jnp.cumsum(flat_mask, dtype=jnp.int32) - 1
+    n_edges = jnp.sum(flat_mask, dtype=jnp.int32)
+    # masked-out entries (and overflowing ones) scatter out of range -> dropped
+    slots = jnp.where(flat_mask, slots, e_cap)
+    out_r = jnp.full((e_cap,), fill, dtype=jnp.int32)
+    out_s = jnp.full((e_cap,), fill, dtype=jnp.int32)
+    out_r = out_r.at[slots].set(receivers.reshape(-1).astype(jnp.int32), mode="drop")
+    out_s = out_s.at[slots].set(senders.reshape(-1).astype(jnp.int32), mode="drop")
+    return jnp.stack([out_r, out_s]), n_edges
+
+
+def _pair_mask(
+    disp2: jnp.ndarray,
+    cutoff: float,
+    receivers: jnp.ndarray,
+    senders: jnp.ndarray,
+    num_particles,
+    n_max: int,
+) -> jnp.ndarray:
+    """Radius + validity mask for candidate pairs."""
+    mask = disp2 <= (cutoff * cutoff)
+    mask &= senders < jnp.minimum(num_particles, n_max)
+    mask &= receivers < jnp.minimum(num_particles, n_max)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# all-pairs backend
+# ---------------------------------------------------------------------------
+
+
+def _allpairs_edges(
+    position: jnp.ndarray,
+    num_particles,
+    displacement_fn: Callable,
+    cutoff: float,
+    e_cap: int,
+):
+    n = position.shape[0]
+    disp = jax.vmap(
+        jax.vmap(displacement_fn, in_axes=(None, 0)), in_axes=(0, None)
+    )(position, position)
+    disp2 = jnp.sum(disp * disp, axis=-1)  # (N, N)
+    receivers = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    senders = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    mask = _pair_mask(disp2, cutoff, receivers, senders, num_particles, n)
+    idx, n_edges = _compact_edges(mask, receivers, senders, e_cap, fill=n)
+    return idx, n_edges
+
+
+# ---------------------------------------------------------------------------
+# cell-list backend
+# ---------------------------------------------------------------------------
+
+
+class _Grid(NamedTuple):
+    """Static cell-grid geometry (computed host-side at allocate)."""
+
+    cells_per_side: Tuple[int, ...]
+    cell_size: Tuple[float, ...]
+    num_cells: int
+    offsets: Tuple[Tuple[int, ...], ...]  # the 3^dim stencil
+    pbc: Tuple[bool, ...]
+
+
+def make_grid(box: Sequence[float], cutoff: float, pbc: Sequence[bool]) -> Optional[_Grid]:
+    """Build grid geometry; None if the box is too small for a cell list.
+
+    A periodic dimension needs >= 3 cells, otherwise the +/-1 stencil wraps
+    onto the same cell and produces duplicate edges.
+    """
+    box = [float(b) for b in np.asarray(box).reshape(-1)]
+    dim = len(box)
+    cells_per_side = [max(int(math.floor(b / cutoff)), 1) for b in box]
+    if any(c < 3 and p for c, p in zip(cells_per_side, pbc)):
+        return None
+    if all(c < 3 for c in cells_per_side):
+        return None  # fewer candidate cells than the whole box: use allpairs
+    cell_size = [b / c for b, c in zip(box, cells_per_side)]
+    offsets = []
+    ranges = [(-1, 0, 1)] * dim
+    def rec(i, acc):
+        if i == dim:
+            offsets.append(tuple(acc))
+            return
+        for o in ranges[i]:
+            rec(i + 1, acc + [o])
+    rec(0, [])
+    return _Grid(
+        cells_per_side=tuple(cells_per_side),
+        cell_size=tuple(cell_size),
+        num_cells=int(np.prod(cells_per_side)),
+        offsets=tuple(offsets),
+        pbc=tuple(bool(p) for p in pbc),
+    )
+
+
+def _cell_coords(position: jnp.ndarray, grid: _Grid) -> jnp.ndarray:
+    """Integer cell coordinates per particle, clipped into the grid."""
+    size = jnp.asarray(grid.cell_size, dtype=position.dtype)
+    cps = jnp.asarray(grid.cells_per_side, dtype=jnp.int32)
+    coords = jnp.floor(position / size).astype(jnp.int32)
+    return jnp.clip(coords, 0, cps - 1)
+
+
+def _flatten_coords(coords: jnp.ndarray, grid: _Grid) -> jnp.ndarray:
+    flat = coords[..., 0]
+    for d in range(1, len(grid.cells_per_side)):
+        flat = flat * grid.cells_per_side[d] + coords[..., d]
+    return flat
+
+
+def _build_cell_table(
+    position: jnp.ndarray, num_particles, grid: _Grid, cell_cap: int
+):
+    """Bin particles into a (num_cells, cell_cap) table of particle indices.
+
+    Returns (table, cell_overflowed). Invalid slots hold ``N``.
+    """
+    n = position.shape[0]
+    coords = _cell_coords(position, grid)
+    cid = _flatten_coords(coords, grid)
+    valid = jnp.arange(n, dtype=jnp.int32) < num_particles
+    cid = jnp.where(valid, cid, grid.num_cells)  # dump padding past the grid
+
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    # rank of each particle within its cell
+    rank = jnp.arange(n, dtype=jnp.int32) - jnp.searchsorted(
+        cid_sorted, cid_sorted, side="left"
+    ).astype(jnp.int32)
+    overflow = jnp.any((rank >= cell_cap) & (cid_sorted < grid.num_cells))
+
+    slots = cid_sorted * cell_cap + jnp.minimum(rank, cell_cap - 1)
+    slots = jnp.where(rank < cell_cap, slots, grid.num_cells * cell_cap)
+    table = jnp.full((grid.num_cells * cell_cap,), n, dtype=jnp.int32)
+    table = table.at[slots].set(order.astype(jnp.int32), mode="drop")
+    return table.reshape(grid.num_cells, cell_cap), overflow, coords
+
+
+def _celllist_edges(
+    position: jnp.ndarray,
+    num_particles,
+    displacement_fn: Callable,
+    cutoff: float,
+    e_cap: int,
+    grid: _Grid,
+    cell_cap: int,
+):
+    n, dim = position.shape
+    table, cell_overflow, coords = _build_cell_table(
+        position, num_particles, grid, cell_cap
+    )
+
+    cps = jnp.asarray(grid.cells_per_side, dtype=jnp.int32)
+    offsets = jnp.asarray(grid.offsets, dtype=jnp.int32)  # (S, dim)
+    pbc = jnp.asarray(grid.pbc)
+
+    # neighbor cell coordinates for every particle and stencil offset
+    ncoords = coords[:, None, :] + offsets[None, :, :]  # (N, S, dim)
+    wrapped = jnp.mod(ncoords, cps)
+    in_range = jnp.all(
+        pbc[None, None, :] | ((ncoords >= 0) & (ncoords < cps)), axis=-1
+    )  # (N, S)
+    ncell = _flatten_coords(wrapped, grid)  # (N, S)
+
+    # gather candidate senders: (N, S, C)
+    cand = table[ncell]
+    cand = jnp.where(in_range[..., None], cand, n)
+
+    # displacements receiver -> sender; pad position row N with zeros
+    pos_pad = jnp.concatenate([position, jnp.zeros((1, dim), position.dtype)], axis=0)
+    cand_pos = pos_pad[cand]  # (N, S, C, dim)
+    disp = jax.vmap(
+        lambda ri, cj: jax.vmap(jax.vmap(displacement_fn, (None, 0)), (None, 0))(ri, cj)
+    )(position, cand_pos)
+    disp2 = jnp.sum(disp * disp, axis=-1)  # (N, S, C)
+
+    receivers = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+    mask = _pair_mask(disp2, cutoff, receivers, cand, num_particles, n)
+    mask &= cand < n
+
+    idx, n_edges = _compact_edges(mask, receivers, cand, e_cap, fill=n)
+    n_edges = jnp.where(cell_overflow, e_cap + 1, n_edges)  # force realloc
+    return idx, n_edges
+
+
+# ---------------------------------------------------------------------------
+# public factory
+# ---------------------------------------------------------------------------
+
+
+def neighbor_list(
+    displacement_fn: Callable,
+    box,
+    r_cutoff: float,
+    backend: str = "celllist",
+    capacity_multiplier: float = 1.25,
+    num_particles_max: Optional[int] = None,
+    pbc: Optional[Sequence[bool]] = None,
+    mask_self: bool = False,
+) -> NeighborListFns:
+    """Create allocate/update functions for a fixed-capacity radius graph.
+
+    API mirrors the reference's neighbor_fn (jax-md style): ``allocate`` runs
+    host-side and sizes the buffers from the given sample; ``update`` is pure
+    and jit-able at fixed capacity, flagging overflow instead of resizing.
+
+    Args:
+        displacement_fn: pairwise displacement respecting boundaries.
+        box: box side lengths, shape (dim,).
+        r_cutoff: connectivity radius.
+        backend: "allpairs" | "celllist" | "pallas".
+        capacity_multiplier: headroom factor on edge/cell capacities.
+        num_particles_max: maximum particle count (for documentation only;
+            buffers are sized from the sample's first axis).
+        pbc: per-dimension periodic flags (defaults to all-periodic).
+        mask_self: if True, drop i==i self edges (reference uses False).
+    """
+    assert not mask_self, "reference semantics keep self-edges (mask_self=False)"
+    box = np.asarray(box, dtype=np.float64).reshape(-1)
+    dim = box.shape[0]
+    if pbc is None:
+        pbc = [True] * dim
+    pbc = list(np.asarray(pbc).reshape(-1).astype(bool))
+
+    cutoff = float(r_cutoff)
+
+    grid = make_grid(box, cutoff, pbc) if backend in ("celllist", "pallas") else None
+    if backend in ("celllist", "pallas") and grid is None:
+        backend = "allpairs"  # box too small for a 3-cell stencil
+
+    if backend == "pallas":
+        from . import neighbors_pallas  # deferred: only needed on TPU
+
+        edges_fn_factory = partial(
+            neighbors_pallas.make_edges_fn,
+            displacement_fn=displacement_fn,
+            cutoff=cutoff,
+            grid=grid,
+        )
+    else:
+        edges_fn_factory = None
+
+    # displacement is applied all-or-nothing across dims, matching the
+    # reference's space selection (periodic if ANY dim is periodic)
+    periodic_all = any(pbc)
+
+    def _count_and_caps(position, num_particles) -> Tuple[int, int]:
+        """Host-side exact edge count and cell capacity for this sample.
+
+        Pure numpy: on remote-compiled TPU backends every eager jax op pays
+        a compile round-trip, so capacity sizing must not touch the device.
+        """
+        pos = np.asarray(position, dtype=np.float32)
+        n = pos.shape[0]
+        npart = n if num_particles is None else int(num_particles)
+        pos_valid = pos[:npart]
+
+        if grid is not None:
+            size = np.asarray(grid.cell_size, dtype=np.float32)
+            cps = np.asarray(grid.cells_per_side)
+            coords = np.clip(
+                np.floor(pos_valid / size).astype(np.int64), 0, cps - 1
+            )
+            cid = coords[:, 0]
+            for d in range(1, len(grid.cells_per_side)):
+                cid = cid * grid.cells_per_side[d] + coords[:, d]
+            occ = np.bincount(cid, minlength=grid.num_cells)
+            max_occ = int(occ.max()) if occ.size else 1
+            cell_cap = max(_round_up(max_occ * capacity_multiplier, 4), 4)
+        else:
+            cell_cap = 0
+
+        # exact edge count, chunked to bound the (chunk, N, dim) temporary
+        count = 0
+        chunk = 1024
+        cutoff2 = np.float32(cutoff * cutoff)
+        for start in range(0, npart, chunk):
+            rows = pos_valid[start : start + chunk]
+            disp = rows[:, None, :] - pos_valid[None, :, :]
+            if periodic_all:
+                disp = np.mod(disp + box * 0.5, box) - box * 0.5
+            count += int((np.sum(disp * disp, axis=-1) <= cutoff2).sum())
+        e_cap = max(_round_up(max(count, 1) * capacity_multiplier, 128), 128)
+        return e_cap, cell_cap
+
+    def _make_update(e_cap: int, cell_cap: int) -> Callable:
+        if backend == "allpairs":
+            def edges(position, num_particles):
+                return _allpairs_edges(
+                    position, num_particles, displacement_fn, cutoff, e_cap
+                )
+        elif backend == "celllist":
+            def edges(position, num_particles):
+                return _celllist_edges(
+                    position,
+                    num_particles,
+                    displacement_fn,
+                    cutoff,
+                    e_cap,
+                    grid,
+                    cell_cap,
+                )
+        else:  # pallas
+            pallas_edges = edges_fn_factory(e_cap=e_cap, cell_cap=cell_cap)
+
+            def edges(position, num_particles):
+                return pallas_edges(position, num_particles)
+
+        @jax.jit
+        def _update_jit(position, prev_overflow, num_particles):
+            idx, n_edges = edges(position, num_particles)
+            overflow = (n_edges > e_cap) | prev_overflow
+            return idx, overflow
+
+        def update(position, neighbors=None, num_particles=None, **kwargs):
+            n = position.shape[0]
+            npart = n if num_particles is None else num_particles
+            prev = (
+                neighbors.did_buffer_overflow
+                if neighbors is not None
+                else jnp.asarray(False)
+            )
+            idx, overflow = _update_jit(position, prev, npart)
+            return NeighborList(
+                idx=idx, did_buffer_overflow=overflow, update_fn=update
+            )
+
+        return update
+
+    def allocate_shell(
+        position, num_particles=None, capacity_boost: float = 1.0, **kwargs
+    ) -> NeighborList:
+        """Size buffers from this sample WITHOUT building the edge list.
+
+        Capacity sizing is pure numpy (host); the returned list carries an
+        all-padding idx buffer and the jitted update closure — callers run
+        ``update`` (usually inside their own jit) to fill it. This keeps TPU
+        allocation free of eager device ops.
+
+        ``capacity_boost`` scales the buffer beyond the standard multiplier —
+        used by rollout retry loops to escalate after an overflow.
+        """
+        e_cap, cell_cap = _count_and_caps(position, num_particles)
+        if capacity_boost != 1.0:
+            e_cap = _round_up(e_cap * capacity_boost, 128)
+            cell_cap = _round_up(cell_cap * capacity_boost, 4) if cell_cap else 0
+        update = _make_update(e_cap, cell_cap)
+        n = position.shape[0]
+        idx = jnp.full((2, e_cap), n, dtype=jnp.int32)
+        return NeighborList(
+            idx=idx, did_buffer_overflow=jnp.asarray(False), update_fn=update
+        )
+
+    def allocate(
+        position, num_particles=None, capacity_boost: float = 1.0, **kwargs
+    ) -> NeighborList:
+        """Size buffers from this sample and build the list."""
+        shell = allocate_shell(
+            position, num_particles=num_particles, capacity_boost=capacity_boost
+        )
+        return shell.update_fn(
+            jnp.asarray(position), None, num_particles=num_particles
+        )
+
+    def update(position, neighbors: NeighborList, num_particles=None, **kwargs):
+        return neighbors.update_fn(position, neighbors, num_particles=num_particles)
+
+    return NeighborListFns(
+        allocate=allocate, update=update, allocate_shell=allocate_shell
+    )

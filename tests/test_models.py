@@ -1,0 +1,91 @@
+"""Model forward-pass tests: shapes, padding behavior, determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lagrangebench_tpu.models import GNS, Linear, make_model_fns
+from lagrangebench_tpu.utils import NodeType
+
+
+def dummy_sample(n=32, e=128, dim=2, isl=6, seed=0, pad_edges=0, dtype=jnp.float32):
+    """Random FeatureDict + particle types; last `pad_edges` edges padded."""
+    rng = np.random.default_rng(seed)
+    k = isl - 1
+    receivers = rng.integers(0, n, size=e)
+    senders = rng.integers(0, n, size=e)
+    receivers = np.sort(receivers)
+    if pad_edges:
+        receivers[-pad_edges:] = n
+        senders[-pad_edges:] = n
+    features = {
+        "abs_pos": jnp.asarray(rng.uniform(size=(n, isl, dim)), dtype),
+        "vel_hist": jnp.asarray(rng.normal(size=(n, k * dim)), dtype),
+        "rel_disp": jnp.asarray(rng.normal(size=(e, dim)), dtype),
+        "rel_dist": jnp.asarray(rng.uniform(size=(e, 1)), dtype),
+        "receivers": jnp.asarray(receivers, jnp.int32),
+        "senders": jnp.asarray(senders, jnp.int32),
+    }
+    ptype = jnp.zeros(n, jnp.int32)
+    return features, ptype
+
+
+def test_gns_forward_shapes():
+    features, ptype = dummy_sample(n=24, e=96, dim=2)
+    model = GNS(particle_dimension=2, latent_size=16, blocks_per_step=2, num_mp_steps=2)
+    init, apply = make_model_fns(model)
+    key = jax.random.PRNGKey(0)
+    params, state = init(key, (features, ptype))
+    out, state = apply(params, state, (features, ptype))
+    assert out["acc"].shape == (24, 2)
+    assert jnp.isfinite(out["acc"]).all()
+
+
+def test_gns_padded_edges_do_not_contribute():
+    """Replacing padded-edge junk must not change the output."""
+    features, ptype = dummy_sample(n=24, e=96, dim=2, pad_edges=16)
+    model = GNS(particle_dimension=2, latent_size=16, blocks_per_step=2, num_mp_steps=2)
+    init, apply = make_model_fns(model)
+    params, state = init(jax.random.PRNGKey(0), (features, ptype))
+    out1, _ = apply(params, state, (features, ptype))
+
+    f2 = dict(features)
+    f2["rel_disp"] = f2["rel_disp"].at[-16:].set(7.7)
+    f2["rel_dist"] = f2["rel_dist"].at[-16:].set(3.3)
+    out2, _ = apply(params, state, (f2, ptype))
+    np.testing.assert_allclose(
+        np.asarray(out1["acc"]), np.asarray(out2["acc"]), atol=1e-6
+    )
+
+
+def test_gns_padding_particle_type_embeds():
+    """PAD (-1) particle types must not produce NaNs (wrap to last row)."""
+    features, ptype = dummy_sample(n=24, e=96, dim=2)
+    ptype = ptype.at[-4:].set(NodeType.PAD_VALUE)
+    model = GNS(particle_dimension=2, latent_size=16, blocks_per_step=2, num_mp_steps=2)
+    init, apply = make_model_fns(model)
+    params, state = init(jax.random.PRNGKey(0), (features, ptype))
+    out, _ = apply(params, state, (features, ptype))
+    assert jnp.isfinite(out["acc"]).all()
+
+
+def test_gns_num_params_scale():
+    """GNS-10-128 lands at ~1.2M parameters like the reference table."""
+    from lagrangebench_tpu.utils import get_num_params
+
+    features, ptype = dummy_sample(n=16, e=64, dim=3, isl=6)
+    model = GNS(particle_dimension=3, latent_size=128, blocks_per_step=2, num_mp_steps=10)
+    init, _ = make_model_fns(model)
+    params, _ = init(jax.random.PRNGKey(0), (features, ptype))
+    n = get_num_params(params)
+    assert 1.0e6 < n < 1.4e6, n
+
+
+def test_linear_forward():
+    features, ptype = dummy_sample(n=24, e=96, dim=2)
+    model = Linear(dimension_out=2)
+    init, apply = make_model_fns(model)
+    params, state = init(jax.random.PRNGKey(0), (features, ptype))
+    out, _ = apply(params, state, (features, ptype))
+    assert out["acc"].shape == (24, 2)

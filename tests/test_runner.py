@@ -1,0 +1,61 @@
+"""End-to-end smoke test: YAML config -> train -> infer via the CLI path."""
+
+import os
+
+import pytest
+
+from .fixtures import make_dataset
+
+
+def test_train_and_infer_end_to_end(tmp_path, monkeypatch):
+    dataset_path = make_dataset(str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(
+        "extends: LAGRANGEBENCH_DEFAULTS\n"
+        f"dataset:\n  src: {dataset_path}\n"
+        "mode: all\n"
+        "model:\n"
+        "  name: linear\n"
+        "  input_seq_length: 3\n"
+        "train:\n"
+        "  batch_size: 2\n"
+        "  step_max: 6\n"
+        "  pushforward:\n"
+        "    steps: [-1]\n"
+        "    unrolls: [0]\n"
+        "    probs: [1]\n"
+        "eval:\n"
+        "  n_rollout_steps: 5\n"
+        "  train:\n"
+        "    n_trajs: 1\n"
+        "  infer:\n"
+        "    n_trajs: 1\n"
+        "    batch_size: 1\n"
+        "    metrics: [mse, e_kin]\n"
+        "    out_type: none\n"
+        "logging:\n"
+        "  log_steps: 2\n"
+        "  eval_steps: 3\n"
+        "neighbors:\n"
+        "  backend: allpairs\n"
+    )
+
+    import main as cli
+
+    metrics = cli.main([f"config={cfg_yaml}"])
+    assert "val/loss" in metrics
+    assert metrics["val/loss"] >= 0.0
+
+    # checkpoint directory was created with config + best subdir
+    ckp_root = tmp_path / "ckp"
+    runs = os.listdir(ckp_root)
+    assert len(runs) == 1
+    run_dir = ckp_root / runs[0]
+    assert (run_dir / "config.yaml").exists()
+    assert (run_dir / "best" / "metadata_ckp.json").exists()
+
+    # restart from the checkpoint in infer mode
+    metrics2 = cli.main([f"load_ckp={run_dir}", "mode=infer"])
+    assert "val/loss" in metrics2

