@@ -6,16 +6,28 @@ from typing import Callable, Dict, Optional, Tuple
 
 from ..config import Config
 from .base import BaseModel, make_model_fns
+from .egnn import EGNN
 from .gns import GNS
 from .linear import Linear
+from .painn import PaiNN
 
-__all__ = ["BaseModel", "GNS", "Linear", "make_model_fns", "setup_model"]
+__all__ = [
+    "BaseModel",
+    "GNS",
+    "Linear",
+    "EGNN",
+    "PaiNN",
+    "make_model_fns",
+    "setup_model",
+]
 
 
 def setup_model(
     cfg_model: Config,
     metadata: Dict,
     has_external_force: bool = False,
+    normalization_stats: Optional[Dict] = None,
+    homogeneous_particles: bool = True,
 ) -> Tuple[BaseModel, Callable, Callable]:
     """Instantiate a model from config + dataset metadata.
 
@@ -40,11 +52,16 @@ def setup_model(
     elif name == "segnn":
         from .segnn import build_segnn
 
-        model = build_segnn(cfg_model, metadata, has_external_force)
+        model = build_segnn(
+            cfg_model, metadata, has_external_force, homogeneous_particles
+        )
     elif name == "egnn":
         from .egnn import build_egnn
 
-        model = build_egnn(cfg_model, metadata)
+        vel_stats = (
+            normalization_stats["velocity"] if normalization_stats else None
+        )
+        model = build_egnn(cfg_model, metadata, velocity_stats=vel_stats)
     elif name == "painn":
         from .painn import build_painn
 

@@ -1,0 +1,175 @@
+"""Minimal O(3) irreducible-representation bookkeeping.
+
+A self-contained replacement for the slice of e3nn-jax the SEGNN stack needs
+(reference lagrangebench/models/segnn.py uses e3nn Irreps/IrrepsArray):
+parsing "2x1o + 1x0e" strings, dimensions, slices, and a thin array
+container. Basis convention: l=1 components are ordered (x, y, z); l=2 as
+[xy, yz, 3z^2-1, xz, x^2-y^2] (see basis.py). Groups keep their declared
+order — no automatic sorting.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, NamedTuple, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+
+
+class Irrep(NamedTuple):
+    """One irreducible representation: degree l and parity p (+1/-1)."""
+
+    l: int
+    p: int
+
+    @property
+    def dim(self) -> int:
+        return 2 * self.l + 1
+
+    def __str__(self) -> str:
+        return f"{self.l}{'e' if self.p == 1 else 'o'}"
+
+    @classmethod
+    def parse(cls, s: str) -> "Irrep":
+        m = re.fullmatch(r"(\d+)([eo])", s.strip())
+        assert m, f"Cannot parse irrep {s!r}"
+        return cls(int(m.group(1)), 1 if m.group(2) == "e" else -1)
+
+    def __mul__(self, other: "Irrep") -> List["Irrep"]:
+        """Selection rule of the tensor product."""
+        return [
+            Irrep(l, self.p * other.p)
+            for l in range(abs(self.l - other.l), self.l + other.l + 1)
+        ]
+
+
+class MulIrrep(NamedTuple):
+    mul: int
+    ir: Irrep
+
+    @property
+    def dim(self) -> int:
+        return self.mul * self.ir.dim
+
+    def __str__(self) -> str:
+        return f"{self.mul}x{self.ir}"
+
+
+class Irreps(tuple):
+    """An ordered tuple of (multiplicity, Irrep) groups."""
+
+    def __new__(cls, value: Union[str, Sequence, "Irreps"]) -> "Irreps":
+        if isinstance(value, Irreps):
+            return super().__new__(cls, value)
+        groups = []
+        if isinstance(value, str):
+            for tok in value.split("+"):
+                tok = tok.strip()
+                if not tok:
+                    continue
+                if "x" in tok:
+                    mul, ir = tok.split("x")
+                    groups.append(MulIrrep(int(mul), Irrep.parse(ir)))
+                else:
+                    groups.append(MulIrrep(1, Irrep.parse(tok)))
+        else:
+            for item in value:
+                if isinstance(item, MulIrrep):
+                    groups.append(item)
+                else:
+                    mul, ir = item
+                    if not isinstance(ir, Irrep):
+                        ir = Irrep.parse(ir) if isinstance(ir, str) else Irrep(*ir)
+                    groups.append(MulIrrep(int(mul), ir))
+        return super().__new__(cls, groups)
+
+    # -- properties -------------------------------------------------------
+    @property
+    def dim(self) -> int:
+        return sum(g.dim for g in self)
+
+    @property
+    def num_irreps(self) -> int:
+        return sum(g.mul for g in self)
+
+    @property
+    def lmax(self) -> int:
+        return max((g.ir.l for g in self), default=0)
+
+    def count(self, ir: Union[str, Irrep]) -> int:
+        if isinstance(ir, str):
+            ir = Irrep.parse(ir)
+        return sum(g.mul for g in self if g.ir == ir)
+
+    def slices(self) -> List[slice]:
+        out, start = [], 0
+        for g in self:
+            out.append(slice(start, start + g.dim))
+            start += g.dim
+        return out
+
+    def simplify(self) -> "Irreps":
+        """Merge consecutive groups with the same irrep; drop empty ones."""
+        groups: List[MulIrrep] = []
+        for g in self:
+            if g.mul == 0:
+                continue
+            if groups and groups[-1].ir == g.ir:
+                groups[-1] = MulIrrep(groups[-1].mul + g.mul, g.ir)
+            else:
+                groups.append(g)
+        return Irreps(groups)
+
+    def sort(self) -> "Irreps":
+        """Stable sort groups by (l, p)."""
+        return Irreps(sorted(self, key=lambda g: (g.ir.l, -g.ir.p)))
+
+    def regroup(self) -> "Irreps":
+        return self.sort().simplify()
+
+    def __add__(self, other) -> "Irreps":
+        return Irreps(tuple(self) + tuple(Irreps(other)))
+
+    def __mul__(self, n: int) -> "Irreps":
+        return Irreps([MulIrrep(g.mul * n, g.ir) for g in self])
+
+    __rmul__ = __mul__
+
+    def __repr__(self) -> str:
+        return "+".join(str(g) for g in self) or "Irreps()"
+
+    @staticmethod
+    def spherical_harmonics(lmax: int) -> "Irreps":
+        """0e + 1o + 2e + ... up to lmax (parity (-1)^l)."""
+        return Irreps([(1, Irrep(l, (-1) ** l)) for l in range(lmax + 1)])
+
+
+class IrrepsArray:
+    """An array whose trailing axis is laid out according to `irreps`."""
+
+    def __init__(self, irreps: Union[str, Irreps], array: jnp.ndarray):
+        self.irreps = Irreps(irreps)
+        assert array.shape[-1] == self.irreps.dim, (
+            f"array last dim {array.shape[-1]} != irreps dim {self.irreps.dim} "
+            f"({self.irreps})"
+        )
+        self.array = array
+
+    @property
+    def shape(self):
+        return self.array.shape
+
+    def groups(self) -> Iterator[Tuple[MulIrrep, jnp.ndarray]]:
+        """Yield (group, array slice reshaped to (..., mul, 2l+1))."""
+        for g, sl in zip(self.irreps, self.irreps.slices()):
+            chunk = self.array[..., sl]
+            yield g, chunk.reshape(chunk.shape[:-1] + (g.mul, g.ir.dim))
+
+    def __repr__(self):
+        return f"IrrepsArray({self.irreps}, shape={self.array.shape})"
+
+
+def concatenate(arrays: List[IrrepsArray]) -> IrrepsArray:
+    """Concatenate IrrepsArrays along the feature axis (group order kept)."""
+    irreps = Irreps([g for a in arrays for g in a.irreps])
+    return IrrepsArray(irreps, jnp.concatenate([a.array for a in arrays], axis=-1))

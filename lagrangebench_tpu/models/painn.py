@@ -1,0 +1,238 @@
+"""PaiNN — polarizable interaction neural network (Schütt et al. 2021),
+adapted for vectorial inputs/outputs as in the reference
+(reference lagrangebench/models/painn.py): input vector channels are
+initialized from the velocity history (not zeros), filters come from a
+trainable Gaussian RBF of edge lengths with a cosine cutoff, and the readout
+emits one vector channel used as the predicted acceleration.
+
+Scalar node state is carried as (N, 1, H) and vector state as (N, dim, H);
+all per-edge work is gather / elementwise / segment-sum — TPU-friendly with
+receiver-sorted edges.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.scatter import segment_sum
+from ..utils import NodeType
+from .base import BaseModel, Sample
+from .utils import LinearXav
+
+
+class GaussianRBF(nn.Module):
+    """Gaussian radial basis expansion with (optionally trainable) centers."""
+
+    n_rbf: int
+    cutoff: float
+    start: float = 0.0
+    trainable: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        offset0 = jnp.linspace(self.start, self.cutoff, self.n_rbf)
+        width0 = jnp.abs(self.cutoff - self.start) / self.n_rbf * jnp.ones(self.n_rbf)
+        if self.trainable:
+            widths = self.param("widths", lambda *_: width0)
+            offsets = self.param("offset", lambda *_: offset0)
+        else:
+            widths, offsets = width0, offset0
+        coeff = -0.5 / widths**2
+        diff = x[..., None] - offsets
+        return jnp.exp(coeff * diff**2)
+
+
+def cosine_cutoff(cutoff: float) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Behler-style cosine cutoff: smooth decay to zero at the radius."""
+
+    def _cutoff(x: jnp.ndarray) -> jnp.ndarray:
+        cuts = 0.5 * (jnp.cos(x * jnp.pi / cutoff) + 1.0)
+        return cuts * (x < cutoff)
+
+    return _cutoff
+
+
+class GatedEquivariantBlock(nn.Module):
+    """Gated equivariant block mixing scalar and vector channels."""
+
+    hidden_size: int
+    scalar_out_channels: int
+    vector_out_channels: int
+    activation: Callable = nn.silu
+    scalar_activation: Callable = None
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, s: jnp.ndarray, v: jnp.ndarray):
+        v_l, v_r = jnp.split(
+            LinearXav(2 * self.vector_out_channels, use_bias=False)(v), 2, axis=-1
+        )
+        v_r_norm = jnp.sqrt(jnp.sum(v_r**2, axis=-2) + self.eps)
+
+        gating = jnp.concatenate([s, v_r_norm], axis=-1)
+        gating = LinearXav(self.hidden_size)(gating)
+        gating = self.activation(gating)
+        gating = LinearXav(self.scalar_out_channels + self.vector_out_channels)(
+            gating
+        )
+        s_out = gating[..., : self.scalar_out_channels]
+        v_gate = gating[..., self.scalar_out_channels :]
+
+        v_out = v_l * v_gate[:, None]
+        if self.scalar_activation:
+            s_out = self.scalar_activation(s_out)
+        return s_out, v_out
+
+
+class PaiNNLayer(nn.Module):
+    """PaiNN interaction + mixing block."""
+
+    hidden_size: int
+    activation: Callable = nn.silu
+    blocks: int = 2
+    eps: float = 1e-8
+
+    def _context_net(self, x, name):
+        for _ in range(self.blocks - 1):
+            x = self.activation(LinearXav(self.hidden_size)(x))
+        return LinearXav(3 * self.hidden_size)(x)
+
+    @nn.compact
+    def __call__(
+        self,
+        s: jnp.ndarray,  # (N, 1, H)
+        v: jnp.ndarray,  # (N, dim, H)
+        dir_ij: jnp.ndarray,  # (E, dim)
+        Wij: jnp.ndarray,  # (E, 1, 3H)
+        senders: jnp.ndarray,
+        receivers: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        n = s.shape[0]
+
+        # -- message (inter-particle); gathers from receivers, scatters to
+        # senders — the reference's convention (painn.py:272-309)
+        x = self._context_net(s, "interaction")
+        ds, dv1, dv2 = jnp.split(Wij * x[receivers], 3, axis=-1)
+        dv = dv1 * dir_ij[..., None] + dv2 * v[receivers]
+        ds = segment_sum(ds, senders, num_segments=n, indices_are_sorted=False)
+        dv = segment_sum(dv, senders, num_segments=n, indices_are_sorted=False)
+        s = s + jnp.clip(ds, -1e2, 1e2)
+        v = v + jnp.clip(dv, -1e2, 1e2)
+
+        # -- update (intra-particle)
+        v_mix = LinearXav(2 * self.hidden_size, use_bias=False)(v)
+        v_l, v_r = jnp.split(v_mix, 2, axis=-1)
+        v_norm = jnp.sqrt(jnp.sum(v_r**2, axis=-2, keepdims=True) + self.eps)
+
+        ts = jnp.concatenate([s, v_norm], axis=-1)
+        ds, dv, dsv = jnp.split(self._context_net(ts, "mixing"), 3, axis=-1)
+        dv = v_l * dv
+        dsv = dsv * jnp.sum(v_r * v_l, axis=1, keepdims=True)
+
+        s = s + jnp.clip(ds + dsv, -1e2, 1e2)
+        v = v + jnp.clip(dv, -1e2, 1e2)
+        return s, v
+
+
+class PaiNN(BaseModel):
+    """PaiNN over the LagrangeBench feature contract."""
+
+    hidden_size: int
+    output_size: int
+    num_mp_steps: int
+    n_rbf: int
+    radius: float
+    n_vels: int
+    homogeneous_particles: bool = True
+    activation: Callable = nn.silu
+    shared_filters: bool = False
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, sample: Sample) -> Dict[str, jnp.ndarray]:
+        features, particle_type = sample
+        assert "vel_mag" in features, "PaiNN requires magnitude_features"
+        n = particle_type.shape[0]
+
+        # vector channels: velocity history (+ force, + wall distances)
+        vecs = [features["vel_hist"].reshape(n, self.n_vels, -1).transpose(0, 2, 1)]
+        if "force" in features:
+            vecs.append(features["force"][..., None])
+        if "bound" in features:
+            vecs.append(features["bound"].reshape(n, 2, -1).transpose(0, 2, 1))
+        v0 = jnp.concatenate(vecs, axis=-1)  # (N, dim, C)
+
+        scalars = [features["vel_mag"]]
+        if not self.homogeneous_particles:
+            scalars.append(jax.nn.one_hot(particle_type, NodeType.SIZE))
+        s0 = jnp.concatenate(scalars, axis=-1)  # (N, C_s)
+
+        senders = features["senders"]
+        receivers = features["receivers"]
+        rel_disp = features["rel_disp"]
+
+        norm_ij = jnp.sqrt(jnp.sum(rel_disp**2, axis=1, keepdims=True) + self.eps)
+        dir_ij = rel_disp / (norm_ij + self.eps)
+
+        # rotationally-invariant filters from the radial basis
+        phi = GaussianRBF(n_rbf=self.n_rbf, cutoff=self.radius, trainable=True)(
+            norm_ij
+        )  # (E, 1, n_rbf)
+        n_filters = (
+            3 * self.hidden_size
+            if self.shared_filters
+            else self.num_mp_steps * 3 * self.hidden_size
+        )
+        filters = LinearXav(n_filters)(phi)
+        filters = filters * cosine_cutoff(self.radius)(norm_ij)[:, None]
+        if self.shared_filters:
+            filter_list = [filters] * self.num_mp_steps
+        else:
+            filter_list = jnp.split(filters, self.num_mp_steps, axis=-1)
+
+        # embeddings
+        s = LinearXav(self.hidden_size)(s0)[:, None]  # (N, 1, H)
+        v = LinearXav(self.hidden_size, use_bias=False)(v0)  # (N, dim, H)
+
+        for i in range(self.num_mp_steps):
+            s, v = PaiNNLayer(
+                hidden_size=self.hidden_size, activation=self.activation
+            )(s, v, dir_ij, filter_list[i], senders, receivers)
+
+        # gated readout, halving widths per block
+        s = jnp.squeeze(s, axis=1)
+        width = self.hidden_size // 2
+        s, v = GatedEquivariantBlock(
+            hidden_size=width * 2,
+            scalar_out_channels=width,
+            vector_out_channels=width,
+            activation=self.activation,
+            eps=self.eps,
+        )(s, v)
+        s, v = GatedEquivariantBlock(
+            hidden_size=width,
+            scalar_out_channels=self.output_size,
+            vector_out_channels=self.output_size,
+            activation=self.activation,
+            eps=self.eps,
+        )(s, v)
+
+        return {"acc": jnp.squeeze(v, axis=-1)}
+
+
+def build_painn(cfg_model, metadata):
+    """PaiNN factory (reference runner.py:270-284): 20 trainable RBFs over
+    1.5x the connectivity radius, cosine cutoff."""
+    assert cfg_model.magnitude_features, "PaiNN requires magnitude_features"
+    return PaiNN(
+        hidden_size=cfg_model.latent_dim,
+        output_size=1,
+        num_mp_steps=cfg_model.num_mp_steps,
+        n_rbf=20,
+        radius=metadata["default_connectivity_radius"] * 1.5,
+        n_vels=cfg_model.input_seq_length - 1,
+    )

@@ -101,9 +101,16 @@ def features_2d_to_3d(features: dict) -> dict:
         ],
         axis=-1,
     )
-    for k in ("force",):
-        if k in features:
-            out[k] = jnp.concatenate(
-                [features[k], jnp.zeros((n_nodes, 1), features[k].dtype)], axis=-1
-            )
+    if "force" in features:
+        out["force"] = jnp.concatenate(
+            [features["force"], jnp.zeros((n_nodes, 1), features["force"].dtype)],
+            axis=-1,
+        )
+    if "bound" in features:
+        # (N, 2*2) lower/upper wall distances -> two zero-padded 3D vectors
+        bound = features["bound"].reshape(n_nodes, 2, 2)
+        bound = jnp.concatenate(
+            [bound, jnp.zeros((n_nodes, 2, 1), bound.dtype)], axis=-1
+        )
+        out["bound"] = bound.reshape(n_nodes, 6)
     return out

@@ -80,9 +80,12 @@ def train_or_infer(cfg: Config):
         dtype=cfg.dtype,
     )
 
+    _, particle_type = data_train[0]
     model, model_init, model_apply = setup_model(
         cfg.model, metadata,
         has_external_force=data_train.external_force_fn is not None,
+        normalization_stats=case.normalization_stats,
+        homogeneous_particles=bool(particle_type.max() == particle_type.min()),
     )
 
     mesh = None
