@@ -23,6 +23,8 @@ def run_bench(
     n_steps: int = 50,
     n_warmup: int = 2,
     backend: str = "celllist",
+    nl_format: str = "dense",
+    compute_dtype: str = "bfloat16",
 ):
     import jax
     import jax.numpy as jnp
@@ -30,7 +32,12 @@ def run_bench(
     from __graft_entry__ import _grid_positions, _make_case_and_model
 
     case, metadata, init_fn, apply_fn = _make_case_and_model(
-        n_particles, dim=dim, isl=isl, backend=backend
+        n_particles,
+        dim=dim,
+        isl=isl,
+        backend=backend,
+        nl_format=nl_format,
+        compute_dtype=compute_dtype,
     )
 
     pos = _grid_positions(n_particles, dim, 1.0, isl)
@@ -87,8 +94,13 @@ def run_bench(
         "detail": {
             "ms_per_rollout_step": round(ms_per_step, 3),
             "n_particles": n_particles,
-            "edges_capacity": int(neighbors.idx.shape[1]),
+            "edges_capacity": int(
+                neighbors.idx.shape[-1]
+                * (neighbors.idx.shape[0] if neighbors.format == "dense" else 1)
+            ),
             "backend": backend,
+            "nl_format": nl_format,
+            "compute_dtype": compute_dtype,
             "device": str(jax.devices()[0]),
         },
     }

@@ -106,6 +106,7 @@ def case_builder(
         capacity_multiplier=float(cfg_neighbors.multiplier),
         num_particles_max=metadata["num_particles_max"],
         pbc=pbc,
+        format=cfg_neighbors.get("format", "dense"),
     )
 
     feature_transform = physical_feature_builder(

@@ -80,16 +80,34 @@ def physical_feature_builder(
         if external_force_fn is not None:
             features["force"] = jax.vmap(external_force_fn)(most_recent)
 
-        receivers, senders = nbrs.idx
+        if getattr(nbrs, "format", "sparse") == "sparse":
+            # sparse (2, E): reference-compatible layout
+            receivers, senders = nbrs.idx
+            # padded edges (index N) gather with clamping -> zero
+            # displacement, same net effect as the reference's gathers
+            edge_disp = disp_vmap(most_recent[receivers], most_recent[senders])
+            rel_disp = edge_disp / connectivity_radius
+            rel_dist = space.distance(rel_disp)[:, None]
+        else:
+            # dense (N, K): row i is receiver i; senders fill with N
+            senders = nbrs.idx
+            receivers = jax.lax.broadcasted_iota(
+                jnp.int32, senders.shape, 0
+            )
+            disp_kvmap = jax.vmap(disp_vmap, in_axes=(0, 0))
+            edge_disp = disp_kvmap(
+                most_recent[receivers], most_recent[senders]
+            )
+            # zero out padded slots (clamped gathers would leave junk here,
+            # unlike the sparse case where receiver==N too)
+            valid = (senders < n)[..., None]
+            rel_disp = jnp.where(valid, edge_disp / connectivity_radius, 0.0)
+            rel_dist = space.distance(rel_disp)[..., None]
+
         features["receivers"] = receivers
         features["senders"] = senders
-
-        # padded edges (index N) gather with clamping -> zero displacement,
-        # same net effect as the reference's out-of-range gathers
-        edge_disp = disp_vmap(most_recent[receivers], most_recent[senders])
-        rel_disp = edge_disp / connectivity_radius
         features["rel_disp"] = rel_disp
-        features["rel_dist"] = space.distance(rel_disp)[:, None]
+        features["rel_dist"] = rel_dist
 
         return features
 

@@ -57,6 +57,9 @@ def set_defaults() -> Config:
     cfg.model.latent_dim = 128  # hidden width
     cfg.model.magnitude_features = False  # append |v| node features
     cfg.model.isotropic_norm = False  # normalize all dimensions equally
+    # MLP compute precision: "bfloat16" engages the TPU MXU full-rate path
+    # (params stay float32); "float32" for exact-parity work
+    cfg.model.compute_dtype = "float32"
 
     # SEGNN-only
     cfg.model.lmax_attributes = 1
@@ -118,11 +121,18 @@ def set_defaults() -> Config:
     cfg.logging.wandb_entity = "lagrangebench"
     cfg.logging.ckp_dir = "ckp"
     cfg.logging.run_name = None
+    # XLA profiler: write a TensorBoard trace between these steps
+    cfg.logging.profile_dir = None
+    cfg.logging.profile_steps = [10, 15]
 
     # -- neighbor list ----------------------------------------------------
     cfg.neighbors = Config()
     cfg.neighbors.backend = "celllist"  # allpairs | celllist | pallas
     cfg.neighbors.multiplier = 1.25  # capacity headroom on the edge buffer
+    # edge layout: "dense" (N, K) per-receiver sender matrix — the TPU fast
+    # path (scatter-free build + aggregation); "sparse" (2, E) compacted
+    # edges — the reference-compatible layout
+    cfg.neighbors.format = "dense"
 
     # -- parallelism (new vs reference: ICI data parallelism) -------------
     cfg.parallel = Config()
@@ -168,3 +178,4 @@ def check_cfg(cfg: Config) -> None:
     assert cfg.eval.infer.out_type in ["none", "vtk", "pkl"]
 
     resolve_backend(cfg.neighbors.backend)
+    assert cfg.neighbors.format in ["sparse", "dense"]

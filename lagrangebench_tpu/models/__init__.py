@@ -46,6 +46,7 @@ def setup_model(
             blocks_per_step=cfg_model.num_mlp_layers,
             num_mp_steps=cfg_model.num_mp_steps,
             particle_type_embedding_size=16,
+            compute_dtype=cfg_model.get("compute_dtype", "float32"),
         )
     elif name == "linear":
         model = Linear(dimension_out=dim)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.scatter import segment_sum
+from ..ops.scatter import aggregate_to_receivers, segment_sum
 from ..utils import NodeType
 from .base import BaseModel, Sample
 from .utils import MLPXav
@@ -58,9 +58,10 @@ class EGNNLayer(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n = h.shape[0]
 
-        # radial geometry at the current (intra-layer) positions
+        # radial geometry at the current (intra-layer) positions; shapes are
+        # (E, dim) for sparse edges or (N, K, dim) for dense
         coord_diff = self.displacement_fn(pos[senders], pos[receivers])
-        radial = jnp.sum(coord_diff**2, axis=1, keepdims=True)
+        radial = jnp.sum(coord_diff**2, axis=-1, keepdims=True)
         if self.normalize:
             coord_diff = coord_diff / (jnp.sqrt(radial) + self.eps)
 
@@ -82,7 +83,7 @@ class EGNNLayer(nn.Module):
             msg = msg * att
 
         # node update from receiver-aggregated messages
-        agg = segment_sum(msg, receivers, num_segments=n)
+        agg = aggregate_to_receivers(msg, receivers, senders, n)
         upd_in = [h, agg]
         if node_attribute is not None:
             upd_in.append(node_attribute)

@@ -21,7 +21,7 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.scatter import segment_sum
+from ..ops.scatter import aggregate_to_receivers
 from ..utils import NodeType
 from .base import BaseModel, Sample
 from .utils import MLP, concat_edge_features, concat_node_features
@@ -45,6 +45,7 @@ class GNS(BaseModel):
     num_mp_steps: int = 10
     particle_type_embedding_size: int = 16
     num_particle_types: int = NodeType.SIZE
+    compute_dtype: str = "float32"  # "bfloat16" engages the MXU fast path
 
     @nn.compact
     def __call__(self, sample: Sample) -> Dict[str, jnp.ndarray]:
@@ -63,27 +64,31 @@ class GNS(BaseModel):
             )(jnp.mod(particle_type, self.num_particle_types))
             nodes = jnp.concatenate([nodes, embeddings], axis=-1)
 
+        dtype = jnp.dtype(self.compute_dtype)
+
         def mlp(out_size, layer_norm=True):
             return MLP(
                 latent_size=self.latent_size,
                 output_size=out_size,
                 num_hidden_layers=self.blocks_per_step,
                 is_layer_norm=layer_norm,
+                dtype=dtype,
             )
 
         # encoder
         h = mlp(self.latent_size)(nodes)
         e = mlp(self.latent_size)(edges)
 
-        # processor: residual message passing, fresh MLPs per step
+        # processor: residual message passing, fresh MLPs per step; edges
+        # may be sparse (E, .) or dense (N, K, .) — aggregation dispatches
         for _ in range(self.num_mp_steps):
             msg_in = jnp.concatenate([h[senders], h[receivers], e], axis=-1)
             messages = mlp(self.latent_size)(msg_in)
-            agg = segment_sum(messages, receivers, num_segments=n)
+            agg = aggregate_to_receivers(messages, receivers, senders, n)
             h_new = mlp(self.latent_size)(jnp.concatenate([h, agg], axis=-1))
             h = h + h_new
             e = e + messages
 
-        # decoder (no LayerNorm on the output head)
+        # decoder (no LayerNorm on the output head); outputs stay float32
         acc = mlp(self.particle_dimension, layer_norm=False)(h)
-        return {"acc": acc}
+        return {"acc": acc.astype(jnp.float32)}

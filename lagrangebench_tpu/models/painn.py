@@ -175,7 +175,10 @@ class PaiNN(BaseModel):
         receivers = features["receivers"]
         rel_disp = features["rel_disp"]
 
-        norm_ij = jnp.sqrt(jnp.sum(rel_disp**2, axis=1, keepdims=True) + self.eps)
+        # axis=-1: rel_disp is (E, dim) sparse or (N, K, dim) dense
+        norm_ij = jnp.sqrt(
+            jnp.sum(rel_disp**2, axis=-1, keepdims=True) + self.eps
+        )
         dir_ij = rel_disp / (norm_ij + self.eps)
 
         # rotationally-invariant filters from the radial basis
@@ -188,7 +191,7 @@ class PaiNN(BaseModel):
             else self.num_mp_steps * 3 * self.hidden_size
         )
         filters = LinearXav(n_filters)(phi)
-        filters = filters * cosine_cutoff(self.radius)(norm_ij)[:, None]
+        filters = filters * cosine_cutoff(self.radius)(norm_ij)[..., None]
         if self.shared_filters:
             filter_list = [filters] * self.num_mp_steps
         else:

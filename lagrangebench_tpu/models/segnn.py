@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from flax import linen as nn
 
-from ..ops.scatter import segment_mean, segment_sum
+from ..ops.scatter import aggregate_mean_to_receivers, aggregate_to_receivers
 from ..utils import NodeType
 from .base import BaseModel, Sample
 from .e3 import (
@@ -110,8 +110,8 @@ class SEGNNLayer(nn.Module):
         for _ in range(self.n_blocks):
             msg = O3TensorProductGate(self.output_irreps)(msg, edge_attributes)
 
-        # aggregate to receivers (padded edges drop out-of-range)
-        agg = segment_sum(msg.array, receivers, num_segments=n)
+        # aggregate to receivers (padded edges masked / dropped)
+        agg = aggregate_to_receivers(msg.array, receivers, senders, n)
         agg = IrrepsArray(msg.irreps, agg)
 
         # update: phi_f steered by node attributes, residual
@@ -167,10 +167,12 @@ class SEGNN(BaseModel):
         else:  # "last"
             vel = vel_hist[:, -1]
 
-        edge_attr = sh(features["rel_disp"])  # (E, attr_dim)
+        edge_attr = sh(features["rel_disp"])  # (E, attr_dim) or (N, K, attr)
         vel_attr = sh(vel)  # (N, attr_dim)
-        # mean edge attributes per node ("density"); padded edges drop
-        scattered = segment_mean(edge_attr, features["receivers"], n_nodes)
+        # mean edge attributes per node ("density"); padded edges masked
+        scattered = aggregate_mean_to_receivers(
+            edge_attr, features["receivers"], features["senders"], n_nodes
+        )
         node_attr = (vel_attr + scattered).at[:, 0].set(1.0)
 
         return (

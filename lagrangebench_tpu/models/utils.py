@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -15,6 +15,9 @@ class MLP(nn.Module):
     lagrangebench/models/utils.py:100-115): `num_hidden_layers - 1` hidden
     layers of width `latent_size`, a final linear to `output_size`, ReLU
     activations, and LayerNorm after the output unless disabled.
+
+    ``dtype`` selects the compute precision (params stay float32): bfloat16
+    engages the full-rate MXU path on TPU.
     """
 
     latent_size: int
@@ -22,16 +25,17 @@ class MLP(nn.Module):
     num_hidden_layers: int = 2
     is_layer_norm: bool = True
     activation: Callable = nn.relu
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         widths = [self.latent_size] * (self.num_hidden_layers - 1) + [self.output_size]
         for i, w in enumerate(widths):
-            x = nn.Dense(w)(x)
+            x = nn.Dense(w, dtype=self.dtype)(x)
             if i < len(widths) - 1:
                 x = self.activation(x)
         if self.is_layer_norm:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
         return x
 
 

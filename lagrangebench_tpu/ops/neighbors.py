@@ -46,12 +46,14 @@ def _round_up(x: int, m: int) -> int:
 
 @struct.dataclass
 class NeighborList:
-    """Sparse fixed-capacity neighbor list.
+    """Fixed-capacity neighbor list, sparse or dense.
 
     Attributes:
-        idx: ``(2, E_cap)`` int32; row 0 = receivers, row 1 = senders (same
-            unpacking order as the reference feature builder, reference
-            lagrangebench/case_setup/features.py:110). Fill value is ``N``.
+        idx: sparse format — ``(2, E_cap)`` int32, row 0 = receivers,
+            row 1 = senders (same unpacking order as the reference feature
+            builder, reference lagrangebench/case_setup/features.py:110).
+            Dense format — ``(N, K_cap)`` int32 sender matrix where row i
+            holds the neighbors of receiver i. Fill value is ``N`` in both.
         did_buffer_overflow: scalar bool; True if the capacity was exceeded
             and the list must be re-allocated.
         update_fn: static update closure (not a pytree leaf).
@@ -60,6 +62,7 @@ class NeighborList:
     idx: jnp.ndarray
     did_buffer_overflow: jnp.ndarray
     update_fn: Callable = struct.field(pytree_node=False)
+    format: str = struct.field(pytree_node=False, default="sparse")
 
     def update(self, position: jnp.ndarray, num_particles=None, **kwargs):
         """Recompute edges at ``position`` reusing this list's capacity."""
@@ -243,15 +246,51 @@ def _build_cell_table(
     return table.reshape(grid.num_cells, cell_cap), overflow, coords
 
 
-def _celllist_edges(
+def _dense_select(
+    cand: jnp.ndarray,
+    mask: jnp.ndarray,
+    k_cap: int,
+    n: int,
+):
+    """Pick up to k_cap valid candidates per row via top_k (scatter-free).
+
+    Args:
+        cand: (N, C) candidate sender indices (fill = n).
+        mask: (N, C) validity.
+        k_cap: per-row output capacity.
+        n: number of particles (fill value).
+
+    Returns (senders (N, k_cap), row_overflow ()).
+    """
+    c = cand.shape[1]
+    if k_cap >= c:
+        # capacity covers every candidate slot: no selection needed
+        senders = jnp.where(mask, cand, n)
+        if k_cap > c:
+            senders = jnp.pad(
+                senders, ((0, 0), (0, k_cap - c)), constant_values=n
+            )
+        return senders.astype(jnp.int32), jnp.asarray(False)
+    score = mask.astype(jnp.int32)
+    vals, sel = jax.lax.top_k(score, k_cap)  # any k valid entries
+    senders = jnp.take_along_axis(cand, sel, axis=1)
+    senders = jnp.where(vals > 0, senders, n)
+    overflow = jnp.any(jnp.sum(score, axis=1) > k_cap)
+    return senders.astype(jnp.int32), overflow
+
+
+def _celllist_candidates(
     position: jnp.ndarray,
     num_particles,
     displacement_fn: Callable,
     cutoff: float,
-    e_cap: int,
     grid: _Grid,
     cell_cap: int,
 ):
+    """Shared cell-list candidate generation: (cand, mask, cell_overflow).
+
+    cand: (N, S*C) candidate senders; mask: within-cutoff + validity.
+    """
     n, dim = position.shape
     table, cell_overflow, coords = _build_cell_table(
         position, num_particles, grid, cell_cap
@@ -261,30 +300,82 @@ def _celllist_edges(
     offsets = jnp.asarray(grid.offsets, dtype=jnp.int32)  # (S, dim)
     pbc = jnp.asarray(grid.pbc)
 
-    # neighbor cell coordinates for every particle and stencil offset
     ncoords = coords[:, None, :] + offsets[None, :, :]  # (N, S, dim)
     wrapped = jnp.mod(ncoords, cps)
     in_range = jnp.all(
         pbc[None, None, :] | ((ncoords >= 0) & (ncoords < cps)), axis=-1
-    )  # (N, S)
+    )
     ncell = _flatten_coords(wrapped, grid)  # (N, S)
 
-    # gather candidate senders: (N, S, C)
-    cand = table[ncell]
+    cand = table[ncell]  # (N, S, C)
     cand = jnp.where(in_range[..., None], cand, n)
 
-    # displacements receiver -> sender; pad position row N with zeros
     pos_pad = jnp.concatenate([position, jnp.zeros((1, dim), position.dtype)], axis=0)
-    cand_pos = pos_pad[cand]  # (N, S, C, dim)
+    cand_pos = pos_pad[cand]
     disp = jax.vmap(
         lambda ri, cj: jax.vmap(jax.vmap(displacement_fn, (None, 0)), (None, 0))(ri, cj)
     )(position, cand_pos)
-    disp2 = jnp.sum(disp * disp, axis=-1)  # (N, S, C)
+    disp2 = jnp.sum(disp * disp, axis=-1)
 
     receivers = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
     mask = _pair_mask(disp2, cutoff, receivers, cand, num_particles, n)
     mask &= cand < n
 
+    s, c = cand.shape[1], cand.shape[2]
+    return cand.reshape(n, s * c), mask.reshape(n, s * c), cell_overflow
+
+
+def _celllist_dense(
+    position: jnp.ndarray,
+    num_particles,
+    displacement_fn: Callable,
+    cutoff: float,
+    k_cap: int,
+    grid: _Grid,
+    cell_cap: int,
+):
+    """Dense (N, K) neighbor matrix from the cell list — no compaction."""
+    n = position.shape[0]
+    cand, mask, cell_overflow = _celllist_candidates(
+        position, num_particles, displacement_fn, cutoff, grid, cell_cap
+    )
+    senders, row_overflow = _dense_select(cand, mask, k_cap, n)
+    return senders, row_overflow | cell_overflow
+
+
+def _allpairs_dense(
+    position: jnp.ndarray,
+    num_particles,
+    displacement_fn: Callable,
+    cutoff: float,
+    k_cap: int,
+):
+    """Dense (N, K) neighbor matrix from an all-pairs scan (small systems)."""
+    n = position.shape[0]
+    disp = jax.vmap(
+        jax.vmap(displacement_fn, in_axes=(None, 0)), in_axes=(0, None)
+    )(position, position)
+    disp2 = jnp.sum(disp * disp, axis=-1)
+    receivers = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    senders = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    mask = _pair_mask(disp2, cutoff, receivers, senders, num_particles, n)
+    return _dense_select(senders, mask, k_cap, n)
+
+
+def _celllist_edges(
+    position: jnp.ndarray,
+    num_particles,
+    displacement_fn: Callable,
+    cutoff: float,
+    e_cap: int,
+    grid: _Grid,
+    cell_cap: int,
+):
+    n = position.shape[0]
+    cand, mask, cell_overflow = _celllist_candidates(
+        position, num_particles, displacement_fn, cutoff, grid, cell_cap
+    )
+    receivers = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
     idx, n_edges = _compact_edges(mask, receivers, cand, e_cap, fill=n)
     n_edges = jnp.where(cell_overflow, e_cap + 1, n_edges)  # force realloc
     return idx, n_edges
@@ -304,6 +395,7 @@ def neighbor_list(
     num_particles_max: Optional[int] = None,
     pbc: Optional[Sequence[bool]] = None,
     mask_self: bool = False,
+    format: str = "sparse",
 ) -> NeighborListFns:
     """Create allocate/update functions for a fixed-capacity radius graph.
 
@@ -321,7 +413,12 @@ def neighbor_list(
             buffers are sized from the sample's first axis).
         pbc: per-dimension periodic flags (defaults to all-periodic).
         mask_self: if True, drop i==i self edges (reference uses False).
+        format: "sparse" (2, E) compacted edges — reference-compatible —
+            or "dense" (N, K) per-receiver sender matrix — the TPU fast
+            path: built by per-row top_k (no scatter/compaction) and
+            aggregated by masked reshape-sum in the models.
     """
+    assert format in ("sparse", "dense"), format
     assert not mask_self, "reference semantics keep self-edges (mask_self=False)"
     box = np.asarray(box, dtype=np.float64).reshape(-1)
     dim = box.shape[0]
@@ -354,16 +451,17 @@ def neighbor_list(
     def _count_and_caps(position, num_particles) -> Tuple[int, int]:
         """Host-side exact edge count and cell capacity for this sample.
 
-        Pure numpy: on remote-compiled TPU backends every eager jax op pays
-        a compile round-trip, so capacity sizing must not touch the device.
+        Host-only (no device ops): on remote-compiled TPU backends every
+        eager jax op pays a compile round-trip. Uses the native C++ cell
+        list when available (O(N)), else chunked numpy (O(N^2)).
         """
-        pos = np.asarray(position, dtype=np.float32)
+        pos = np.asarray(position, dtype=np.float64)
         n = pos.shape[0]
         npart = n if num_particles is None else int(num_particles)
         pos_valid = pos[:npart]
 
         if grid is not None:
-            size = np.asarray(grid.cell_size, dtype=np.float32)
+            size = np.asarray(grid.cell_size)
             cps = np.asarray(grid.cells_per_side)
             coords = np.clip(
                 np.floor(pos_valid / size).astype(np.int64), 0, cps - 1
@@ -377,47 +475,87 @@ def neighbor_list(
         else:
             cell_cap = 0
 
-        # exact edge count, chunked to bound the (chunk, N, dim) temporary
-        count = 0
-        chunk = 1024
-        cutoff2 = np.float32(cutoff * cutoff)
-        for start in range(0, npart, chunk):
-            rows = pos_valid[start : start + chunk]
-            disp = rows[:, None, :] - pos_valid[None, :, :]
-            if periodic_all:
-                disp = np.mod(disp + box * 0.5, box) - box * 0.5
-            count += int((np.sum(disp * disp, axis=-1) <= cutoff2).sum())
+        from . import neighbors_host
+
+        if neighbors_host.available():
+            count = neighbors_host.count_edges(
+                pos_valid, box, periodic_all, cutoff
+            )
+            if format == "dense":
+                idx, _ = neighbors_host.build_edges(
+                    pos_valid, box, periodic_all, cutoff, e_cap=count
+                )
+                per_row = np.bincount(idx[0], minlength=npart)
+                max_k = int(per_row.max()) if per_row.size else 1
+        else:
+            # chunked numpy fallback bounding the (chunk, N, dim) temporary
+            count = 0
+            max_k = 1
+            chunk = 1024
+            cutoff2 = cutoff * cutoff
+            for start in range(0, npart, chunk):
+                rows = pos_valid[start : start + chunk]
+                disp = rows[:, None, :] - pos_valid[None, :, :]
+                if periodic_all:
+                    disp = np.mod(disp + box * 0.5, box) - box * 0.5
+                within = np.sum(disp * disp, axis=-1) <= cutoff2
+                count += int(within.sum())
+                if format == "dense" and within.size:
+                    max_k = max(max_k, int(within.sum(axis=1).max()))
         e_cap = max(_round_up(max(count, 1) * capacity_multiplier, 128), 128)
+        if format == "dense":
+            k_cap = max(_round_up(max(max_k, 1) * capacity_multiplier, 4), 4)
+            return k_cap, cell_cap
         return e_cap, cell_cap
 
     def _make_update(e_cap: int, cell_cap: int) -> Callable:
-        if backend == "allpairs":
-            def edges(position, num_particles):
-                return _allpairs_edges(
-                    position, num_particles, displacement_fn, cutoff, e_cap
-                )
-        elif backend == "celllist":
-            def edges(position, num_particles):
-                return _celllist_edges(
-                    position,
-                    num_particles,
-                    displacement_fn,
-                    cutoff,
-                    e_cap,
-                    grid,
-                    cell_cap,
-                )
-        else:  # pallas
-            pallas_edges = edges_fn_factory(e_cap=e_cap, cell_cap=cell_cap)
+        """e_cap is the per-row K capacity in dense format."""
+        if format == "dense":
+            if backend == "celllist":
+                def edges(position, num_particles):
+                    return _celllist_dense(
+                        position, num_particles, displacement_fn, cutoff,
+                        e_cap, grid, cell_cap,
+                    )
+            else:
+                def edges(position, num_particles):
+                    return _allpairs_dense(
+                        position, num_particles, displacement_fn, cutoff, e_cap
+                    )
 
-            def edges(position, num_particles):
-                return pallas_edges(position, num_particles)
+            @jax.jit
+            def _update_jit(position, prev_overflow, num_particles):
+                idx, overflow = edges(position, num_particles)
+                return idx, overflow | prev_overflow
 
-        @jax.jit
-        def _update_jit(position, prev_overflow, num_particles):
-            idx, n_edges = edges(position, num_particles)
-            overflow = (n_edges > e_cap) | prev_overflow
-            return idx, overflow
+        else:
+            if backend == "allpairs":
+                def edges(position, num_particles):
+                    return _allpairs_edges(
+                        position, num_particles, displacement_fn, cutoff, e_cap
+                    )
+            elif backend == "celllist":
+                def edges(position, num_particles):
+                    return _celllist_edges(
+                        position,
+                        num_particles,
+                        displacement_fn,
+                        cutoff,
+                        e_cap,
+                        grid,
+                        cell_cap,
+                    )
+            else:  # pallas
+                pallas_edges = edges_fn_factory(e_cap=e_cap, cell_cap=cell_cap)
+
+                def edges(position, num_particles):
+                    return pallas_edges(position, num_particles)
+
+            @jax.jit
+            def _update_jit(position, prev_overflow, num_particles):
+                idx, n_edges = edges(position, num_particles)
+                overflow = (n_edges > e_cap) | prev_overflow
+                return idx, overflow
 
         def update(position, neighbors=None, num_particles=None, **kwargs):
             n = position.shape[0]
@@ -429,7 +567,10 @@ def neighbor_list(
             )
             idx, overflow = _update_jit(position, prev, npart)
             return NeighborList(
-                idx=idx, did_buffer_overflow=overflow, update_fn=update
+                idx=idx,
+                did_buffer_overflow=overflow,
+                update_fn=update,
+                format=format,
             )
 
         return update
@@ -449,13 +590,20 @@ def neighbor_list(
         """
         e_cap, cell_cap = _count_and_caps(position, num_particles)
         if capacity_boost != 1.0:
-            e_cap = _round_up(e_cap * capacity_boost, 128)
+            align = 4 if format == "dense" else 128
+            e_cap = _round_up(e_cap * capacity_boost, align)
             cell_cap = _round_up(cell_cap * capacity_boost, 4) if cell_cap else 0
         update = _make_update(e_cap, cell_cap)
         n = position.shape[0]
-        idx = jnp.full((2, e_cap), n, dtype=jnp.int32)
+        if format == "dense":
+            idx = jnp.full((n, e_cap), n, dtype=jnp.int32)
+        else:
+            idx = jnp.full((2, e_cap), n, dtype=jnp.int32)
         return NeighborList(
-            idx=idx, did_buffer_overflow=jnp.asarray(False), update_fn=update
+            idx=idx,
+            did_buffer_overflow=jnp.asarray(False),
+            update_fn=update,
+            format=format,
         )
 
     def allocate(

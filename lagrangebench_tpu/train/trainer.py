@@ -39,6 +39,7 @@ from ..defaults import defaults
 from ..evaluate import MetricsComputer, averaged_metrics, eval_rollout
 from ..models import make_model_fns
 from ..parallel import batch_sharding, replicate_sharding, shard_batch
+from ..profiling import ProfilerHook, StepTimer
 from ..utils import (
     broadcast_from_batch,
     broadcast_to_batch,
@@ -275,6 +276,13 @@ class Trainer:
         keys = jax.random.split(key, self.batch_size)
         neighbors_batch = broadcast_to_batch(neighbors, self.batch_size)
 
+        timer = StepTimer()
+        profiler = ProfilerHook(
+            cfg_logging.get("profile_dir"),
+            *list(cfg_logging.get("profile_steps", [10, 15])),
+        )
+        particles_per_step = first_batch[0].shape[1] * self.batch_size
+
         if self.mesh is not None:
             rep = replicate_sharding(self.mesh)
             params, state, opt_state = jax.device_put((params, state, opt_state), rep)
@@ -287,6 +295,7 @@ class Trainer:
                 raw_batch = shard_batch(raw_batch, self.mesh)
 
                 unroll_steps = push_forward_sample_steps(self.rng, step, pushforward)
+                profiler.maybe_start(step)
 
                 while True:
                     (
@@ -308,15 +317,25 @@ class Trainer:
                         broadcast_to_batch(nbrs, self.batch_size), self.mesh
                     )
 
+                timer.tick()
+                profiler.maybe_stop(step)
+
                 if step % cfg_logging.log_steps == 0:
                     loss.block_until_ready()
+                    perf = timer.stats(particles_per_step)
                     if wandb_run is not None:
-                        wandb_run.log({"train/loss": float(loss)}, step)
+                        wandb_run.log({"train/loss": float(loss), **perf}, step)
                     else:
                         width = len(str(int(step_max)))
-                        print(f"{str(step).zfill(width)}, train/loss: {float(loss):.5f}.")
+                        rate = perf.get("perf/ms_per_step")
+                        rate_str = f" ({rate:.1f} ms/step)" if rate else ""
+                        print(
+                            f"{str(step).zfill(width)}, train/loss: "
+                            f"{float(loss):.5f}.{rate_str}"
+                        )
 
                 if step % cfg_logging.eval_steps == 0 and step > 0:
+                    timer.reset_clock()  # eval pause should not skew stats
                     nbrs = broadcast_from_batch(neighbors_batch, index=0)
                     eval_metrics = eval_rollout(
                         case=self.case,

@@ -42,7 +42,9 @@ def timeit(name, fn, n=20):
 
 def main():
     n, dim, isl = 8000, 3, 6
-    case, metadata, init_fn, apply_fn = _make_case_and_model(n, dim=dim, isl=isl)
+    case, metadata, init_fn, apply_fn = _make_case_and_model(
+        n, dim=dim, isl=isl, nl_format="dense", compute_dtype="bfloat16"
+    )
     pos = _grid_positions(n, dim, 1.0, isl)
     ptype = np.zeros(n, dtype=np.int32)
     features, neighbors = case.allocate_eval((pos[:, :isl], ptype))
@@ -54,13 +56,13 @@ def main():
     timeit(
         "nl_update",
         lambda s: neighbors.update_fn(
-            current[:, -1] + s * 0.0 + s, None, num_particles=n
+            current[:, -1] + s, None, num_particles=n
         ).idx,
     )
     timeit(
         "preprocess_eval",
         lambda s: case.preprocess_eval((current + s, ptype_j), neighbors)[0][
-            "vel_hist"
+            "rel_dist"
         ],
     )
     timeit(
@@ -73,23 +75,49 @@ def main():
         n=10,
     )
 
-    e_cap = neighbors.idx.shape[1]
-    recv = neighbors.idx[0]
-    snd = neighbors.idx[1]
-    timeit(
-        "segment_sum_128",
-        lambda s: jax.ops.segment_sum(
-            jnp.full((e_cap, 128), 1.0, jnp.float32) + s,
-            recv,
-            num_segments=n,
-            indices_are_sorted=True,
-        ),
-    )
-    h = jnp.ones((n, 128), jnp.float32)
-    timeit("gather2_128", lambda s: (h + s)[recv] + (h + s)[snd])
-    w1 = jnp.ones((384, 128), jnp.float32)
-    x = jnp.ones((e_cap, 384), jnp.float32)
-    timeit("edge_matmul_384x128", lambda s: (x + s) @ w1)
+    if neighbors.format == "dense":
+        k = neighbors.idx.shape[1]
+        snd = neighbors.idx
+        recv = jax.lax.broadcasted_iota(jnp.int32, snd.shape, 0)
+        from lagrangebench_tpu.ops.scatter import aggregate_to_receivers
+
+        timeit(
+            "aggregate_dense_128",
+            lambda s: aggregate_to_receivers(
+                jnp.full((n, k, 128), 1.0, jnp.bfloat16) + s.astype(jnp.bfloat16),
+                recv, snd, n,
+            ),
+        )
+        h = jnp.ones((n, 128), jnp.bfloat16)
+        timeit(
+            "gather2_128",
+            lambda s: (h + s.astype(jnp.bfloat16))[recv]
+            + (h + s.astype(jnp.bfloat16))[snd],
+        )
+        w1 = jnp.ones((384, 128), jnp.bfloat16)
+        x = jnp.ones((n, k, 384), jnp.bfloat16)
+        timeit(
+            "edge_matmul_384x128_bf16",
+            lambda s: (x + s.astype(jnp.bfloat16)) @ w1,
+        )
+    else:
+        e_cap = neighbors.idx.shape[1]
+        recv = neighbors.idx[0]
+        snd = neighbors.idx[1]
+        timeit(
+            "segment_sum_128",
+            lambda s: jax.ops.segment_sum(
+                jnp.full((e_cap, 128), 1.0, jnp.float32) + s,
+                recv,
+                num_segments=n,
+                indices_are_sorted=True,
+            ),
+        )
+        h = jnp.ones((n, 128), jnp.float32)
+        timeit("gather2_128", lambda s: (h + s)[recv] + (h + s)[snd])
+        w1 = jnp.ones((384, 128), jnp.float32)
+        x = jnp.ones((e_cap, 384), jnp.float32)
+        timeit("edge_matmul_384x128", lambda s: (x + s) @ w1)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,9 @@ def setup():
         box=[1.0, 1.0, 1.0],
         metadata=metadata,
         input_seq_length=ISL,
-        cfg_neighbors={"backend": "allpairs", "multiplier": 1.25},
+        cfg_neighbors={
+            "backend": "allpairs", "multiplier": 1.25, "format": "sparse",
+        },
         cfg_model={"isotropic_norm": False, "magnitude_features": False},
         noise_std=0.0,
         external_force_fn=None,
