@@ -1,5 +1,17 @@
 """Device-mesh parallelism helpers."""
 
-from .mesh import batch_sharding, make_mesh, replicate_sharding, shard_batch
+from .mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    replicate_sharding,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicate_sharding",
+    "shard_batch",
+    "init_distributed",
+]

@@ -50,3 +50,25 @@ def shard_batch(pytree, mesh: Optional[Mesh]):
         return pytree
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), pytree)
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host execution (DCN across slices).
+
+    On TPU pods the arguments are discovered from the environment; returns
+    the local process index. Safe to call when already initialized or when
+    running single-process (no-op).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # single-process or already initialized
+    return jax.process_index()
