@@ -79,11 +79,35 @@ class GNS(BaseModel):
         h = mlp(self.latent_size)(nodes)
         e = mlp(self.latent_size)(edges)
 
+        dense_edges = receivers.ndim == 2
+
         # processor: residual message passing, fresh MLPs per step; edges
-        # may be sparse (E, .) or dense (N, K, .) — aggregation dispatches
+        # may be sparse (E, .) or dense (N, K, .) — aggregation dispatches.
+        #
+        # The edge MLP's first layer over concat(h[senders], h[receivers], e)
+        # is decomposed algebraically: the h-projections run at NODE level
+        # (N x latent matmuls) and are gathered/broadcast afterwards — a ~3x
+        # FLOP cut on the dominant matmul, and in the dense layout the
+        # receiver term is a pure broadcast instead of a gather.
         for _ in range(self.num_mp_steps):
-            msg_in = jnp.concatenate([h[senders], h[receivers], e], axis=-1)
-            messages = mlp(self.latent_size)(msg_in)
+            if self.blocks_per_step > 1:
+                hs_proj = nn.Dense(self.latent_size, use_bias=False, dtype=dtype)(h)
+                hr_proj = nn.Dense(self.latent_size, use_bias=False, dtype=dtype)(h)
+                e_proj = nn.Dense(self.latent_size, dtype=dtype)(e)
+                if dense_edges:
+                    first = e_proj + hs_proj[senders] + hr_proj[:, None, :]
+                else:
+                    first = e_proj + hs_proj[senders] + hr_proj[receivers]
+                messages = MLP(
+                    latent_size=self.latent_size,
+                    output_size=self.latent_size,
+                    num_hidden_layers=self.blocks_per_step - 1,
+                    is_layer_norm=True,
+                    dtype=dtype,
+                )(nn.relu(first))
+            else:  # single-layer blocks cannot be decomposed
+                msg_in = jnp.concatenate([h[senders], h[receivers], e], axis=-1)
+                messages = mlp(self.latent_size)(msg_in)
             agg = aggregate_to_receivers(messages, receivers, senders, n)
             h_new = mlp(self.latent_size)(jnp.concatenate([h, agg], axis=-1))
             h = h + h_new

@@ -221,11 +221,18 @@ def _flatten_coords(coords: jnp.ndarray, grid: _Grid) -> jnp.ndarray:
 def _build_cell_table(
     position: jnp.ndarray, num_particles, grid: _Grid, cell_cap: int
 ):
-    """Bin particles into a (num_cells, cell_cap) table of particle indices.
+    """Bin particles into (num_cells, cell_cap) tables of indices AND
+    positions.
 
-    Returns (table, cell_overflowed). Invalid slots hold ``N``.
+    The position table lets the candidate scan gather 27 contiguous
+    (cell_cap, dim) rows per particle instead of S*C random point gathers —
+    much friendlier to the TPU memory system. Invalid index slots hold
+    ``N``; invalid position slots hold a far-away sentinel so the distance
+    filter rejects them naturally.
+
+    Returns (table_idx, table_pos, cell_overflowed, coords).
     """
-    n = position.shape[0]
+    n, dim = position.shape
     coords = _cell_coords(position, grid)
     cid = _flatten_coords(coords, grid)
     valid = jnp.arange(n, dtype=jnp.int32) < num_particles
@@ -243,7 +250,19 @@ def _build_cell_table(
     slots = jnp.where(rank < cell_cap, slots, grid.num_cells * cell_cap)
     table = jnp.full((grid.num_cells * cell_cap,), n, dtype=jnp.int32)
     table = table.at[slots].set(order.astype(jnp.int32), mode="drop")
-    return table.reshape(grid.num_cells, cell_cap), overflow, coords
+
+    sentinel = jnp.asarray(1e9, position.dtype)
+    table_pos = jnp.full(
+        (grid.num_cells * cell_cap, dim), sentinel, dtype=position.dtype
+    )
+    table_pos = table_pos.at[slots].set(position[order], mode="drop")
+
+    return (
+        table.reshape(grid.num_cells, cell_cap),
+        table_pos.reshape(grid.num_cells, cell_cap, dim),
+        overflow,
+        coords,
+    )
 
 
 def _dense_select(
@@ -271,12 +290,22 @@ def _dense_select(
                 senders, ((0, 0), (0, k_cap - c)), constant_values=n
             )
         return senders.astype(jnp.int32), jnp.asarray(False)
-    score = mask.astype(jnp.int32)
-    vals, sel = jax.lax.top_k(score, k_cap)  # any k valid entries
-    senders = jnp.take_along_axis(cand, sel, axis=1)
-    senders = jnp.where(vals > 0, senders, n)
-    overflow = jnp.any(jnp.sum(score, axis=1) > k_cap)
-    return senders.astype(jnp.int32), overflow
+
+    # rank-compaction via a one-hot matmul: each valid candidate lands in
+    # output slot rank = (exclusive count of valid candidates before it).
+    # On TPU this is a batched (C x K) MXU contraction — ~2x faster than
+    # top_k and with deterministic in-order packing. float32 is exact for
+    # indices < 2^24.
+    slot = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    onehot = (
+        (slot[..., None] == jnp.arange(k_cap, dtype=jnp.int32)[None, None, :])
+        & mask[..., None]
+    ).astype(jnp.float32)
+    senders = jnp.einsum("nc,nck->nk", cand.astype(jnp.float32), onehot)
+    filled = jnp.sum(onehot, axis=1) > 0
+    senders = jnp.where(filled, senders.astype(jnp.int32), n)
+    overflow = jnp.any(jnp.sum(mask, axis=1) > k_cap)
+    return senders, overflow
 
 
 def _celllist_candidates(
@@ -292,7 +321,7 @@ def _celllist_candidates(
     cand: (N, S*C) candidate senders; mask: within-cutoff + validity.
     """
     n, dim = position.shape
-    table, cell_overflow, coords = _build_cell_table(
+    table, table_pos, cell_overflow, coords = _build_cell_table(
         position, num_particles, grid, cell_cap
     )
 
@@ -309,9 +338,10 @@ def _celllist_candidates(
 
     cand = table[ncell]  # (N, S, C)
     cand = jnp.where(in_range[..., None], cand, n)
+    # candidate positions come from the cell table: 27 contiguous
+    # (C, dim) row gathers per particle instead of S*C point gathers
+    cand_pos = table_pos[ncell]  # (N, S, C, dim)
 
-    pos_pad = jnp.concatenate([position, jnp.zeros((1, dim), position.dtype)], axis=0)
-    cand_pos = pos_pad[cand]
     disp = jax.vmap(
         lambda ri, cj: jax.vmap(jax.vmap(displacement_fn, (None, 0)), (None, 0))(ri, cj)
     )(position, cand_pos)
@@ -319,6 +349,7 @@ def _celllist_candidates(
 
     receivers = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
     mask = _pair_mask(disp2, cutoff, receivers, cand, num_particles, n)
+    # the index mask also rejects sentinel position slots
     mask &= cand < n
 
     s, c = cand.shape[1], cand.shape[2]
