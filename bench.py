@@ -22,10 +22,14 @@ def run_bench(
     isl: int = 6,
     n_steps: int = 50,
     n_warmup: int = 2,
-    backend: str = "celllist",
+    backend: str = "pallas",
     nl_format: str = "dense",
     compute_dtype: str = "bfloat16",
 ):
+    import jax as _jax
+
+    if backend == "pallas" and _jax.default_backend() != "tpu":
+        backend = "celllist"  # pallas interpret mode is impractically slow
     import jax
     import jax.numpy as jnp
 

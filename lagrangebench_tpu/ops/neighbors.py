@@ -464,6 +464,7 @@ def neighbor_list(
         backend = "allpairs"  # box too small for a 3-cell stencil
 
     if backend == "pallas":
+        assert format == "dense", "the pallas neighbor kernel is dense-only"
         from . import neighbors_pallas  # deferred: only needed on TPU
 
         edges_fn_factory = partial(
@@ -471,6 +472,7 @@ def neighbor_list(
             displacement_fn=displacement_fn,
             cutoff=cutoff,
             grid=grid,
+            box=[float(b) for b in box],
         )
     else:
         edges_fn_factory = None
@@ -542,7 +544,9 @@ def neighbor_list(
     def _make_update(e_cap: int, cell_cap: int) -> Callable:
         """e_cap is the per-row K capacity in dense format."""
         if format == "dense":
-            if backend == "celllist":
+            if backend == "pallas":
+                edges = edges_fn_factory(e_cap=e_cap, cell_cap=cell_cap)
+            elif backend == "celllist":
                 def edges(position, num_particles):
                     return _celllist_dense(
                         position, num_particles, displacement_fn, cutoff,

@@ -1,0 +1,291 @@
+"""Pallas TPU kernel for the dense neighbor search.
+
+Cell-major scan over a ghost-padded cell table:
+
+* particles bin into a ``(ncx, ncy, ncz, C)`` table (indices + positions);
+* the table is extended with ghost layers on every axis — for periodic
+  dimensions ghosts replicate the opposite boundary with positions shifted
+  by ±box (so the kernel needs NO minimum-image arithmetic), for free
+  dimensions ghosts hold sentinels;
+* the kernel grid is (xy-columns, 3^(dim-1) stencil steps): one program
+  loads the full z-run of one (x, y) column (receivers) and of one
+  neighboring column (senders) — both contiguous DMAs — computes all
+  pairwise distances, and rank-packs the in-cutoff senders into the
+  per-receiver (K) output slots via a fused cumsum + one-hot reduction.
+  Rank state (accumulator + counts) lives in VMEM scratch across the
+  stencil steps;
+* results land in cell-slot order and scatter back to particle order with
+  one (N, K) row scatter.
+
+Falls back to interpreter mode off-TPU so the same code path is testable
+on CPU.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import neighbors as nb
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _extend_table(
+    table_idx: jnp.ndarray,  # (ncx, ncy, ncz, C) or (ncx, ncy, C)
+    table_pos: jnp.ndarray,  # (..., C, dim)
+    box: Sequence[float],
+    pbc: Sequence[bool],
+    n: int,
+):
+    """Add ghost layers on every cell axis (wrap+shift or sentinel)."""
+    dim = table_pos.shape[-1]
+    sentinel = jnp.asarray(1e9, table_pos.dtype)
+
+    for axis in range(dim):
+        if pbc[axis]:
+            last_i = jax.lax.slice_in_dim(table_idx, -1, None, axis=axis)
+            first_i = jax.lax.slice_in_dim(table_idx, 0, 1, axis=axis)
+            last_p = jax.lax.slice_in_dim(table_pos, -1, None, axis=axis)
+            first_p = jax.lax.slice_in_dim(table_pos, 0, 1, axis=axis)
+            shift = jnp.zeros((dim,), table_pos.dtype).at[axis].set(box[axis])
+            table_idx = jnp.concatenate([last_i, table_idx, first_i], axis=axis)
+            table_pos = jnp.concatenate(
+                [last_p - shift, table_pos, first_p + shift], axis=axis
+            )
+        else:
+            pad_shape_i = list(table_idx.shape)
+            pad_shape_i[axis] = 1
+            pad_shape_p = list(table_pos.shape)
+            pad_shape_p[axis] = 1
+            pad_i = jnp.full(pad_shape_i, n, table_idx.dtype)
+            pad_p = jnp.full(pad_shape_p, sentinel, table_pos.dtype)
+            table_idx = jnp.concatenate([pad_i, table_idx, pad_i], axis=axis)
+            table_pos = jnp.concatenate([pad_p, table_pos, pad_p], axis=axis)
+    return table_idx, table_pos
+
+
+def _scan_kernel(
+    base_ref,  # scalar prefetch: (n_tiles,) ext column index per tile
+    off_ref,  # scalar prefetch: (S,) column offset per stencil step
+    recv_pos_ref,  # (1, R, dim)
+    send_pos_t_ref,  # (1, dim, R) — transposed for 2D per-axis distances
+    send_idx_ref,  # (1, 1, R)
+    out_ref,  # (1, R, K)
+    ovf_ref,  # (1, 1, 1)
+    acc,  # VMEM scratch (R, K) f32
+    counts,  # VMEM scratch (R, 1) i32
+    *,
+    cutoff2: float,
+    n_particles: int,
+    k_cap: int,
+):
+    s = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+
+    @pl.when(s == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        counts[...] = jnp.zeros_like(counts)
+
+    rp = recv_pos_ref[0]  # (R, dim)
+    sp_t = send_pos_t_ref[0]  # (dim, R)
+    cand = send_idx_ref[0, 0]  # (R,)
+
+    # per-axis (R, R) accumulation: a (R, R, dim) displacement tensor would
+    # pad its 3-lane trailing axis to 128 and blow the VMEM budget.
+    # ghosts are pre-shifted, so plain differences suffice (no min-image)
+    ndim = rp.shape[1]
+    dist2 = None
+    for dd in range(ndim):
+        diff = rp[:, dd : dd + 1] - sp_t[dd : dd + 1, :]  # (R, R)
+        dist2 = diff * diff if dist2 is None else dist2 + diff * diff
+    mask = (dist2 <= cutoff2) & (cand[None, :] < n_particles)
+
+    # prefix-sum along the candidate axis as an MXU matmul with an
+    # upper-triangular ones matrix (mosaic has no cumsum primitive)
+    r = mask.shape[1]
+    tri_rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    tri_cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    tri = (tri_rows <= tri_cols).astype(jnp.float32)
+    mi_f = mask.astype(jnp.float32)
+    csum = jnp.dot(mi_f, tri, preferred_element_type=jnp.float32)
+    mi = mask.astype(jnp.int32)
+    slot = counts[...] + csum.astype(jnp.int32) - 1  # (R, R)
+    # per-output-slot selection, unrolled over K to keep peak VMEM at a few
+    # (R, R) temporaries (a (R, R, K) one-hot blows the scoped budget)
+    cand_f = cand.astype(jnp.float32)[None, :]  # (1, R)
+    cols = []
+    for k in range(k_cap):
+        sel = ((slot == k) & mask).astype(jnp.float32)  # (R, R)
+        cols.append(jnp.sum(sel * cand_f, axis=1, keepdims=True))
+    acc[...] += jnp.concatenate(cols, axis=1)
+    counts[...] += jnp.sum(mi, axis=1, keepdims=True)
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[0], k_cap), 1)
+        out_ref[0] = jnp.where(
+            k_iota < counts[...], acc[...].astype(jnp.int32), n_particles
+        )
+        ovf_ref[0] = jnp.max(counts[...]).reshape(1, 1)
+
+
+def make_edges_fn(
+    displacement_fn: Callable,
+    cutoff: float,
+    grid: "nb._Grid",
+    e_cap: int,  # per-row K capacity (dense format)
+    cell_cap: int,
+    box: Optional[Sequence[float]] = None,
+    interpret: Optional[bool] = None,
+):
+    """Build the dense pallas edge function for a fixed grid/capacity.
+
+    Returns fn(position, num_particles) -> (senders (N, K), overflow).
+    """
+    assert grid is not None, "pallas backend needs a cell grid"
+    dim = len(grid.cells_per_side)
+    assert dim in (2, 3), "pallas neighbor kernel supports 2D/3D"
+    k_cap = e_cap
+    C = cell_cap
+    if interpret is None:
+        interpret = _interpret_default()
+
+    cps = grid.cells_per_side
+    if box is None:
+        box = [grid.cell_size[d] * cps[d] for d in range(dim)]
+
+    if dim == 3:
+        ncx, ncy, ncz = cps
+        n_tiles = ncx * ncy
+        run = (ncz + 2) * C
+        # stencil over (dx, dy); z covered by the full run
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        off_flat = np.asarray(
+            [dx * (ncy + 2) + dy for dx, dy in offs], dtype=np.int32
+        )
+        base = np.asarray(
+            [
+                (ix + 1) * (ncy + 2) + (iy + 1)
+                for ix in range(ncx)
+                for iy in range(ncy)
+            ],
+            dtype=np.int32,
+        )
+    else:  # dim == 2
+        ncx, ncy = cps
+        n_tiles = ncx
+        run = (ncy + 2) * C
+        off_flat = np.asarray([-1, 0, 1], dtype=np.int32)
+        base = np.asarray([ix + 1 for ix in range(ncx)], dtype=np.int32)
+
+    n_steps = len(off_flat)
+    cutoff2 = float(cutoff) ** 2
+
+    def edges(position: jnp.ndarray, num_particles) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        n = position.shape[0]
+        table_idx, table_pos, cell_overflow, _ = nb._build_cell_table(
+            position, num_particles, grid, C
+        )
+        table_idx = table_idx.reshape(tuple(cps) + (C,))
+        table_pos = table_pos.reshape(tuple(cps) + (C, dim))
+        ext_idx, ext_pos = _extend_table(table_idx, table_pos, box, grid.pbc, n)
+
+        # flatten to (ext_columns, run[, dim])
+        n_cols = int(np.prod(ext_idx.shape[:-2])) if dim == 3 else ext_idx.shape[0]
+        ext_idx_f = ext_idx.reshape(n_cols, run)
+        ext_pos_f = ext_pos.reshape(n_cols, run, dim)
+
+        kernel = partial(
+            _scan_kernel,
+            cutoff2=cutoff2,
+            n_particles=n,
+            k_cap=k_cap,
+        )
+        # the (run, run, K) one-hot intermediate dominates VMEM
+        vmem_estimate = run * run * (k_cap + 2) * 4
+        assert vmem_estimate < 12 * 1024 * 1024, (
+            f"z-run {run} too large for the pallas kernel's VMEM budget; "
+            "use the celllist backend (run chunking lands later)"
+        )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles, n_steps),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, run, dim),
+                    lambda i, s, b, o: (b[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, dim, run),
+                    lambda i, s, b, o: (b[i] + o[s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, run),
+                    lambda i, s, b, o: (b[i] + o[s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, run, k_cap),
+                    lambda i, s, b, o: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1),
+                    lambda i, s, b, o: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((run, k_cap), jnp.float32),
+                pltpu.VMEM((run, 1), jnp.int32),
+            ],
+        )
+        slot_senders, ovf = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles, run, k_cap), jnp.int32),
+                jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(base),
+            jnp.asarray(off_flat),
+            ext_pos_f.astype(jnp.float32),
+            jnp.transpose(ext_pos_f.astype(jnp.float32), (0, 2, 1)),
+            ext_idx_f.reshape(n_cols, 1, run),
+        )
+
+        # slice interior run rows and scatter back to particle order
+        if dim == 3:
+            rows = slot_senders.reshape(ncx * ncy, ncz + 2, C, k_cap)
+            rows = rows[:, 1 : 1 + ncz].reshape(-1, k_cap)
+            slots = table_idx.reshape(-1)
+        else:
+            rows = slot_senders.reshape(ncx, ncy + 2, C, k_cap)
+            rows = rows[:, 1 : 1 + ncy].reshape(-1, k_cap)
+            slots = table_idx.reshape(-1)
+
+        senders = jnp.full((n, k_cap), n, dtype=jnp.int32)
+        senders = senders.at[slots].set(rows, mode="drop")
+
+        overflow = (jnp.max(ovf) > k_cap) | cell_overflow
+        return senders, overflow
+
+    return edges

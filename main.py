@@ -38,6 +38,15 @@ def main(argv=None):
     if cfg.get("config") is None:
         cfg.config = config_path
 
+    # hardware knobs must land in the environment before jax initializes
+    # (reference main.py:56-64 parity; harmless on TPU)
+    if cfg.get("gpu") is not None:
+        os.environ["CUDA_VISIBLE_DEVICES"] = str(cfg.gpu)
+        if cfg.gpu == -1:
+            os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    if cfg.get("xla_mem_fraction") is not None:
+        os.environ["XLA_PYTHON_CLIENT_MEM_FRACTION"] = str(cfg.xla_mem_fraction)
+
     from lagrangebench_tpu.runner import train_or_infer
 
     return train_or_infer(cfg)

@@ -1,0 +1,73 @@
+"""Pallas neighbor kernel: parity with the XLA dense cell-list backend.
+
+Runs in interpreter mode on CPU (the same code path compiles on TPU).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lagrangebench_tpu.ops import neighbor_list, periodic, free
+
+from .test_dense_format import dense_edge_set
+from .test_neighbors import brute_force_edges
+
+
+@pytest.mark.parametrize("periodic_box", [True, False])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pallas_matches_bruteforce(periodic_box, dim):
+    rng = np.random.default_rng(0)
+    box, cutoff, n = 2.0, 0.31, 96
+    pos = rng.uniform(0, box, size=(n, dim))
+
+    disp, _ = periodic(box) if periodic_box else free()
+    fns = neighbor_list(
+        disp,
+        [box] * dim,
+        cutoff,
+        backend="pallas",
+        format="dense",
+        pbc=[periodic_box] * dim,
+    )
+    nbrs = fns.allocate(jnp.asarray(pos))
+    assert not bool(nbrs.did_buffer_overflow)
+
+    got = dense_edge_set(nbrs, n)
+    want = brute_force_edges(pos, box, cutoff, periodic_box)
+    assert got == want
+
+
+def test_pallas_update_and_overflow():
+    rng = np.random.default_rng(1)
+    box, cutoff, n = 3.0, 0.4, 128
+    disp, _ = periodic(box)
+    fns = neighbor_list(
+        disp, [box] * 3, cutoff, backend="pallas", format="dense"
+    )
+    pos0 = rng.uniform(0, box, size=(n, 3))
+    nbrs = fns.allocate(jnp.asarray(pos0))
+
+    pos1 = np.mod(pos0 + rng.normal(0, 0.02, size=pos0.shape), box)
+    nbrs1 = nbrs.update(jnp.asarray(pos1))
+    assert not bool(nbrs1.did_buffer_overflow)
+    assert dense_edge_set(nbrs1, n) == brute_force_edges(pos1, box, cutoff, True)
+
+    # collapse -> overflow flag
+    dense_pos = 1.5 + 0.01 * rng.uniform(size=(n, 3))
+    nbrs2 = nbrs.update(jnp.asarray(dense_pos))
+    assert bool(nbrs2.did_buffer_overflow)
+
+
+def test_pallas_padding_excluded():
+    box, cutoff = 2.0, 0.5
+    disp, _ = periodic(box)
+    fns = neighbor_list(
+        disp, [box] * 3, cutoff, backend="pallas", format="dense"
+    )
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, box, size=(64, 3))
+    pos[50:] = 0.0  # padded particles parked at the origin
+    nbrs = fns.allocate(jnp.asarray(pos), num_particles=50)
+    got = dense_edge_set(nbrs, 64)
+    want = brute_force_edges(pos, box, cutoff, True, num_particles=50)
+    assert got == want
