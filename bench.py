@@ -25,11 +25,17 @@ def run_bench(
     backend: str = "pallas",
     nl_format: str = "dense",
     compute_dtype: str = "bfloat16",
+    batch_size: int = 1,
+    use_fused_processor: bool = True,
 ):
+    """Single-chip rollout throughput; batch_size > 1 vmaps trajectories
+    (production rollouts are batched, reference eval default batch is 2)."""
     import jax as _jax
 
     if backend == "pallas" and _jax.default_backend() != "tpu":
         backend = "celllist"  # pallas interpret mode is impractically slow
+    if _jax.default_backend() != "tpu":
+        use_fused_processor = False
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +48,7 @@ def run_bench(
         backend=backend,
         nl_format=nl_format,
         compute_dtype=compute_dtype,
+        use_fused_processor=use_fused_processor,
     )
 
     pos = _grid_positions(n_particles, dim, 1.0, isl)
@@ -53,14 +60,23 @@ def run_bench(
     # the production rollout shape: the whole horizon is ONE lax.scan on
     # device (see evaluate/rollout.py), so per-step host dispatch overhead
     # does not exist
+    def one_step(params_, cur, ptype_, nbrs):
+        features, nbrs = case.preprocess_eval((cur, ptype_), nbrs)
+        out, _ = apply_fn(params_, {}, (features, ptype_))
+        next_pos = case.integrate(out, cur)
+        cur = jnp.concatenate([cur[:, 1:], next_pos[:, None]], axis=1)
+        return cur, nbrs
+
+    if batch_size > 1:
+        step = jax.vmap(one_step, in_axes=(None, 0, 0, 0))
+    else:
+        step = one_step
+
     @jax.jit
     def rollout(params_, current, ptype, neighbors):
         def step_fn(carry, _):
             cur, ptype_, nbrs = carry
-            features, nbrs = case.preprocess_eval((cur, ptype_), nbrs)
-            out, _ = apply_fn(params_, {}, (features, ptype_))
-            next_pos = case.integrate(out, cur)
-            cur = jnp.concatenate([cur[:, 1:], next_pos[:, None]], axis=1)
+            cur, nbrs = step(params_, cur, ptype_, nbrs)
             return (cur, ptype_, nbrs), None
 
         (current, _, neighbors), _ = jax.lax.scan(
@@ -70,6 +86,12 @@ def run_bench(
 
     current = jnp.asarray(pos[:, :isl], jnp.float32)
     ptype_j = jnp.asarray(ptype)
+    if batch_size > 1:
+        from lagrangebench_tpu.utils import broadcast_to_batch
+
+        current = broadcast_to_batch(current, batch_size)
+        ptype_j = broadcast_to_batch(ptype_j, batch_size)
+        neighbors = broadcast_to_batch(neighbors, batch_size)
 
     # warmup / compile
     cur_w, nbrs_w = rollout(params, current, ptype_j, neighbors)
@@ -82,9 +104,11 @@ def run_bench(
     jax.block_until_ready(cur_w)
     elapsed = (time.perf_counter() - t0) / n_repeats
 
-    assert not bool(nbrs_w.did_buffer_overflow), "bench rollout overflowed"
+    assert not bool(
+        jnp.any(nbrs_w.did_buffer_overflow)
+    ), "bench rollout overflowed"
     ms_per_step = elapsed / n_steps * 1e3
-    particle_steps_per_sec = n_particles * n_steps / elapsed
+    particle_steps_per_sec = n_particles * n_steps * batch_size / elapsed
 
     # reference: RPF 3D GNS-10-128 forward = 30.5 ms for 8,000 particles on
     # an NVIDIA A6000 (docs/pages/baselines.rst) => 262,295 particle-steps/s
@@ -105,6 +129,8 @@ def run_bench(
             "backend": backend,
             "nl_format": nl_format,
             "compute_dtype": compute_dtype,
+            "batch_size": batch_size,
+            "fused_processor": use_fused_processor,
             "device": str(jax.devices()[0]),
         },
     }

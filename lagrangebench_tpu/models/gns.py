@@ -46,6 +46,11 @@ class GNS(BaseModel):
     particle_type_embedding_size: int = 16
     num_particle_types: int = NodeType.SIZE
     compute_dtype: str = "float32"  # "bfloat16" engages the MXU fast path
+    # run the processor as one fused Pallas kernel per MP step (dense edge
+    # layout, blocks_per_step=2 only). Inference/bench fast path: its
+    # parameter layout differs from the standard path — convert trained
+    # params with `fused_params_from_standard`.
+    use_fused_processor: bool = False
 
     @nn.compact
     def __call__(self, sample: Sample) -> Dict[str, jnp.ndarray]:
@@ -80,6 +85,45 @@ class GNS(BaseModel):
         e = mlp(self.latent_size)(edges)
 
         dense_edges = receivers.ndim == 2
+
+        if self.use_fused_processor:
+            assert dense_edges and self.blocks_per_step == 2, (
+                "fused processor requires the dense edge layout and "
+                "2-layer MLP blocks"
+            )
+            from ..ops import fused_mp
+
+            mask = senders < n
+            for step in range(self.num_mp_steps):
+                p = {
+                    name: self.param(
+                        f"mp{step}_{name}",
+                        (
+                            nn.initializers.lecun_normal()
+                            if name.startswith("w")
+                            else (
+                                nn.initializers.ones_init()
+                                if "scale" in name
+                                else nn.initializers.zeros_init()
+                            )
+                        ),
+                        (self.latent_size, self.latent_size)
+                        if name.startswith("w")
+                        else (self.latent_size,),
+                    )
+                    for name in fused_mp.PARAM_NAMES
+                }
+                hs_proj = jnp.dot(
+                    h, p["w_s"].astype(dtype), preferred_element_type=dtype
+                )
+                hr_proj = jnp.dot(
+                    h, p["w_r"].astype(dtype), preferred_element_type=dtype
+                )
+                e, h = fused_mp.gns_mp_step(
+                    e, hs_proj[senders], hr_proj, h, mask, p
+                )
+            acc = mlp(self.particle_dimension, layer_norm=False)(h)
+            return {"acc": acc.astype(jnp.float32)}
 
         # processor: residual message passing, fresh MLPs per step; edges
         # may be sparse (E, .) or dense (N, K, .) — aggregation dispatches.
@@ -116,3 +160,43 @@ class GNS(BaseModel):
         # decoder (no LayerNorm on the output head); outputs stay float32
         acc = mlp(self.particle_dimension, layer_norm=False)(h)
         return {"acc": acc.astype(jnp.float32)}
+
+
+def fused_params_from_standard(params: Dict, num_mp_steps: int) -> Dict:
+    """Re-layout standard GNS parameters for the fused-processor variant.
+
+    The standard processor declares flax Dense/MLP modules (auto-named in
+    creation order); the fused processor uses flat per-step arrays. The
+    mapping is purely a rename/split — the math is identical.
+    """
+    out = {k: params[k] for k in ("Embed_0", "MLP_0", "MLP_1") if k in params}
+    latent = params["MLP_0"]["Dense_1"]["kernel"].shape[1]
+    for i in range(num_mp_steps):
+        d_hs = params[f"Dense_{3 * i}"]
+        d_hr = params[f"Dense_{3 * i + 1}"]
+        d_e = params[f"Dense_{3 * i + 2}"]
+        mlp_msg = params[f"MLP_{2 + 2 * i}"]
+        mlp_node = params[f"MLP_{3 + 2 * i}"]
+        wn = mlp_node["Dense_0"]["kernel"]  # (2*latent, latent)
+        out.update(
+            {
+                f"mp{i}_w_s": d_hs["kernel"],
+                f"mp{i}_w_r": d_hr["kernel"],
+                f"mp{i}_w_e": d_e["kernel"],
+                f"mp{i}_b1": d_e["bias"],
+                f"mp{i}_w2": mlp_msg["Dense_0"]["kernel"],
+                f"mp{i}_b2": mlp_msg["Dense_0"]["bias"],
+                f"mp{i}_ln1_scale": mlp_msg["LayerNorm_0"]["scale"],
+                f"mp{i}_ln1_bias": mlp_msg["LayerNorm_0"]["bias"],
+                f"mp{i}_w_nh": wn[:latent],
+                f"mp{i}_w_na": wn[latent:],
+                f"mp{i}_bn1": mlp_node["Dense_0"]["bias"],
+                f"mp{i}_wn2": mlp_node["Dense_1"]["kernel"],
+                f"mp{i}_bn2": mlp_node["Dense_1"]["bias"],
+                f"mp{i}_ln2_scale": mlp_node["LayerNorm_0"]["scale"],
+                f"mp{i}_ln2_bias": mlp_node["LayerNorm_0"]["bias"],
+            }
+        )
+    # decoder: next auto-named MLP in each variant
+    out["MLP_2"] = params[f"MLP_{2 + 2 * num_mp_steps}"]
+    return out
