@@ -140,6 +140,123 @@ def _scan_kernel(
         ovf_ref[0] = jnp.max(counts[...]).reshape(1, 1)
 
 
+def _binning_kernel(
+    cid_ref,  # (1, T) int32 cell ids (invalid particles carry num_cells)
+    slot_ref,  # out (1, T) int32 table slots (sentinel if cell overflows)
+    ovf_ref,  # out (1, 1, 1) int32 running max cell occupancy
+    counters,  # VMEM scratch (num_cells_pad, 1) f32
+    *,
+    cell_cap: int,
+    num_cells: int,
+):
+    """Counting-sort binning: rank of each particle within its cell.
+
+    Sequential grid over particle tiles; per-cell counters persist in VMEM.
+    Replaces the argsort + searchsorted rank computation whose bitonic
+    lowering is launch-bound on high-overhead runtimes.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        counters[...] = jnp.zeros_like(counters)
+
+    cid = cid_ref[0]  # (T,)
+    t = cid.shape[0]
+    ncp = counters.shape[0]
+
+    cells = jax.lax.broadcasted_iota(jnp.int32, (t, ncp), 1)
+    onehot = (cid[:, None] == cells).astype(jnp.float32)  # (T, ncp)
+
+    # rank contribution from earlier tiles: counters lookup as a matvec
+    prior = jnp.dot(onehot, counters[...], preferred_element_type=jnp.float32)
+    prior = prior[:, 0]  # (T,)
+
+    # in-tile rank: strictly-earlier particles with the same cell id
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    same = (cid[:, None] == cid[None, :]) & (cols < rows)
+    rank_in = jnp.sum(same.astype(jnp.float32), axis=1)
+
+    rank = (prior + rank_in).astype(jnp.int32)
+    valid = cid < num_cells
+    in_cap = rank < cell_cap
+    slot = jnp.where(
+        valid & in_cap, cid * cell_cap + rank, num_cells * cell_cap
+    )
+    slot_ref[0] = slot
+
+    counters[...] += jnp.sum(onehot, axis=0)[:, None]
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        # final counters hold per-cell occupancy; report the max
+        ovf_ref[0] = jnp.max(counters[...]).astype(jnp.int32).reshape(1, 1)
+
+
+def build_cell_table_pallas(
+    position: jnp.ndarray,
+    num_particles,
+    grid: "nb._Grid",
+    cell_cap: int,
+    tile: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """Pallas-accelerated drop-in for nb._build_cell_table."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n, dim = position.shape
+    coords = nb._cell_coords(position, grid)
+    cid = nb._flatten_coords(coords, grid)
+    valid = jnp.arange(n, dtype=jnp.int32) < num_particles
+    cid = jnp.where(valid, cid, grid.num_cells).astype(jnp.int32)
+
+    n_pad = -n % tile
+    cid_p = jnp.pad(cid, (0, n_pad), constant_values=grid.num_cells)
+    n_tiles = (n + n_pad) // tile
+
+    slots, occ = pl.pallas_call(
+        partial(
+            _binning_kernel, cell_cap=cell_cap, num_cells=grid.num_cells
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((grid.num_cells, 1), jnp.float32)],
+        interpret=interpret,
+    )(cid_p.reshape(n_tiles, tile))
+
+    slots = slots.reshape(-1)[:n]
+    overflow = occ[0, 0, 0] > cell_cap
+
+    sentinel = jnp.asarray(1e9, position.dtype)
+    size = grid.num_cells * cell_cap
+    table = jnp.full((size,), n, dtype=jnp.int32)
+    table = table.at[slots].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    table_pos = jnp.full((size, dim), sentinel, dtype=position.dtype)
+    table_pos = table_pos.at[slots].set(position, mode="drop")
+
+    return (
+        table.reshape(grid.num_cells, cell_cap),
+        table_pos.reshape(grid.num_cells, cell_cap, dim),
+        overflow,
+        coords,
+    )
+
+
 def make_edges_fn(
     displacement_fn: Callable,
     cutoff: float,
@@ -194,8 +311,8 @@ def make_edges_fn(
 
     def edges(position: jnp.ndarray, num_particles) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n = position.shape[0]
-        table_idx, table_pos, cell_overflow, _ = nb._build_cell_table(
-            position, num_particles, grid, C
+        table_idx, table_pos, cell_overflow, _ = build_cell_table_pallas(
+            position, num_particles, grid, C, interpret=interpret
         )
         table_idx = table_idx.reshape(tuple(cps) + (C,))
         table_pos = table_pos.reshape(tuple(cps) + (C, dim))

@@ -71,3 +71,43 @@ def test_pallas_padding_excluded():
     got = dense_edge_set(nbrs, 64)
     want = brute_force_edges(pos, box, cutoff, True, num_particles=50)
     assert got == want
+
+
+def test_binning_kernel_matches_xla_table():
+    import jax
+    import jax.numpy as jnp
+
+    from lagrangebench_tpu.ops import neighbors as nb
+    from lagrangebench_tpu.ops.neighbors_pallas import build_cell_table_pallas
+
+    rng = np.random.default_rng(5)
+    n, box, cutoff = 200, 2.0, 0.31
+    pos = jnp.asarray(rng.uniform(0, box, size=(n, 3)), jnp.float32)
+    grid = nb.make_grid([box] * 3, cutoff, [True] * 3)
+
+    t_ref, p_ref, ovf_ref, _ = nb._build_cell_table(pos, n, grid, 8)
+    t_pal, p_pal, ovf_pal, _ = build_cell_table_pallas(
+        pos, n, grid, 8, tile=64, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_pal))
+    np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_pal))
+    assert bool(ovf_ref) == bool(ovf_pal) == False  # noqa: E712
+
+    # padding excluded
+    t_pad, _, _, _ = build_cell_table_pallas(
+        pos, 100, grid, 8, tile=64, interpret=True
+    )
+    assert (np.asarray(t_pad) < 100).sum() == 100
+
+
+def test_binning_kernel_overflow_flag():
+    import jax.numpy as jnp
+
+    from lagrangebench_tpu.ops import neighbors as nb
+    from lagrangebench_tpu.ops.neighbors_pallas import build_cell_table_pallas
+
+    # all particles in one cell -> occupancy 32 > cap 8
+    pos = jnp.full((32, 3), 0.1, jnp.float32)
+    grid = nb.make_grid([2.0] * 3, 0.31, [True] * 3)
+    _, _, ovf, _ = build_cell_table_pallas(pos, 32, grid, 8, tile=16, interpret=True)
+    assert bool(ovf)
