@@ -141,9 +141,9 @@ def _scan_kernel(
 
 
 def _binning_kernel(
-    cid_ref,  # (1, T) int32 cell ids (invalid particles carry num_cells)
-    slot_ref,  # out (1, T) int32 table slots (sentinel if cell overflows)
-    ovf_ref,  # out (1, 1, 1) int32 running max cell occupancy
+    cid_ref,  # (1, 1, T) int32 cell ids (invalid particles carry num_cells)
+    slot_ref,  # out (1, 1, T) int32 table slots (sentinel if cell overflows)
+    ovf_ref,  # out (1, 1, 1) int32 max cell occupancy (final tile)
     counters,  # VMEM scratch (num_cells_pad, 1) f32
     *,
     cell_cap: int,
@@ -161,7 +161,7 @@ def _binning_kernel(
     def _():
         counters[...] = jnp.zeros_like(counters)
 
-    cid = cid_ref[0]  # (T,)
+    cid = cid_ref[0, 0]  # (T,)
     t = cid.shape[0]
     ncp = counters.shape[0]
 
@@ -184,7 +184,7 @@ def _binning_kernel(
     slot = jnp.where(
         valid & in_cap, cid * cell_cap + rank, num_cells * cell_cap
     )
-    slot_ref[0] = slot
+    slot_ref[0, 0] = slot
 
     counters[...] += jnp.sum(onehot, axis=0)[:, None]
 
@@ -221,21 +221,25 @@ def build_cell_table_pallas(
         ),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
             jax.ShapeDtypeStruct((1, 1, 1), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((grid.num_cells, 1), jnp.float32)],
         interpret=interpret,
-    )(cid_p.reshape(n_tiles, tile))
+    )(cid_p.reshape(n_tiles, 1, tile))
 
     slots = slots.reshape(-1)[:n]
     overflow = occ[0, 0, 0] > cell_cap
