@@ -60,6 +60,10 @@ def set_defaults() -> Config:
     # MLP compute precision: "bfloat16" engages the TPU MXU full-rate path
     # (params stay float32); "float32" for exact-parity work
     cfg.model.compute_dtype = "float32"
+    # GNS inference fast path: one fused Pallas kernel per MP step.
+    # Different parameter layout — convert trained checkpoints with
+    # models.gns.fused_params_from_standard
+    cfg.model.fused_processor = False
 
     # SEGNN-only
     cfg.model.lmax_attributes = 1

@@ -47,6 +47,7 @@ def setup_model(
             num_mp_steps=cfg_model.num_mp_steps,
             particle_type_embedding_size=16,
             compute_dtype=cfg_model.get("compute_dtype", "float32"),
+            use_fused_processor=cfg_model.get("fused_processor", False),
         )
     elif name == "linear":
         model = Linear(dimension_out=dim)
