@@ -39,11 +39,14 @@ class O3TensorProduct(nn.Module):
     """Linear parametrized tensor product x (x)_CG^W y -> output_irreps.
 
     With y=None it degenerates to an equivariant linear layer (y = scalar 1).
-    Biases apply to scalar (0e) outputs only.
+    Biases apply to scalar (0e) outputs only. ``compute_dtype="bfloat16"``
+    runs the CG/weight contractions on the MXU fast path with float32
+    accumulation (params stay float32).
     """
 
     output_irreps: Irreps
     biases: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -73,25 +76,36 @@ class O3TensorProduct(nn.Module):
                 )
                 continue
 
+            cdt = jnp.dtype(self.compute_dtype)
             alpha = 1.0 / np.sqrt(fan_in)
             out = None
             for i, j in paths:
                 gx, ax = x_groups[i]  # ax: (..., mul_x, 2l1+1)
                 gy, ay = y_groups[j]
                 C = jnp.asarray(
-                    clebsch_gordan(gx.ir.l, gy.ir.l, g_out.ir.l),
-                    dtype=x.array.dtype,
+                    clebsch_gordan(gx.ir.l, gy.ir.l, g_out.ir.l), dtype=cdt
                 )
                 w = self.param(
                     f"w_{k_out}_{i}_{j}",
                     nn.initializers.normal(stddev=1.0),
                     (gx.mul * gy.mul, g_out.mul),
-                    x.array.dtype,
+                    jnp.float32,
                 )
                 # fused CG contraction + channel mixing
-                tp = jnp.einsum("...um,...vn,mnp->...uvp", ax, ay, C)
+                tp = jnp.einsum(
+                    "...um,...vn,mnp->...uvp",
+                    ax.astype(cdt),
+                    ay.astype(cdt),
+                    C,
+                    preferred_element_type=jnp.float32,
+                )
                 tp = tp.reshape(tp.shape[:-3] + (gx.mul * gy.mul, g_out.ir.dim))
-                term = jnp.einsum("...kp,ko->...op", tp, w)
+                term = jnp.einsum(
+                    "...kp,ko->...op",
+                    tp.astype(cdt),
+                    w.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
                 out = term if out is None else out + term
 
             out = out * alpha
@@ -151,6 +165,7 @@ class O3TensorProductGate(nn.Module):
     biases: bool = True
     scalar_activation: Callable = nn.silu
     gate_activation: Callable = nn.sigmoid
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -159,8 +174,13 @@ class O3TensorProductGate(nn.Module):
         output_irreps = Irreps(self.output_irreps)
         n_gates = sum(g.mul for g in output_irreps if g.ir.l > 0)
         if n_gates == 0:  # all-scalar output: plain activation
-            z = O3TensorProduct(output_irreps, biases=self.biases)(x, y)
+            z = O3TensorProduct(
+                output_irreps, biases=self.biases,
+                compute_dtype=self.compute_dtype,
+            )(x, y)
             return IrrepsArray(z.irreps, self.scalar_activation(z.array))
         tp_irreps = Irreps([MulIrrep(n_gates, Irrep(0, 1))]) + output_irreps
-        z = O3TensorProduct(tp_irreps, biases=self.biases)(x, y)
+        z = O3TensorProduct(
+            tp_irreps, biases=self.biases, compute_dtype=self.compute_dtype
+        )(x, y)
         return gate(z, n_gates, self.scalar_activation, self.gate_activation)

@@ -104,10 +104,11 @@ class PaiNNLayer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        s: jnp.ndarray,  # (N, 1, H)
+        s: jnp.ndarray,  # (N, H) — scalars kept 2D: singleton middle axes
+        #                  pad 1 -> 8 sublanes on TPU and waste 8x layout
         v: jnp.ndarray,  # (N, dim, H)
-        dir_ij: jnp.ndarray,  # (E, dim)
-        Wij: jnp.ndarray,  # (E, 1, 3H)
+        dir_ij: jnp.ndarray,  # (E, dim) or (N, K, dim)
+        Wij: jnp.ndarray,  # (E, 3H) or (N, K, 3H)
         senders: jnp.ndarray,
         receivers: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -115,9 +116,12 @@ class PaiNNLayer(nn.Module):
 
         # -- message (inter-particle); gathers from receivers, scatters to
         # senders — the reference's convention (painn.py:272-309)
-        x = self._context_net(s, "interaction")
+        x = self._context_net(s, "interaction")  # (N, 3H)
         ds, dv1, dv2 = jnp.split(Wij * x[receivers], 3, axis=-1)
-        dv = dv1 * dir_ij[..., None] + dv2 * v[receivers]
+        dv = (
+            dir_ij[..., :, None] * dv1[..., None, :]
+            + v[receivers] * dv2[..., None, :]
+        )  # (..., dim, H)
         ds = segment_sum(ds, senders, num_segments=n, indices_are_sorted=False)
         dv = segment_sum(dv, senders, num_segments=n, indices_are_sorted=False)
         s = s + jnp.clip(ds, -1e2, 1e2)
@@ -126,12 +130,12 @@ class PaiNNLayer(nn.Module):
         # -- update (intra-particle)
         v_mix = LinearXav(2 * self.hidden_size, use_bias=False)(v)
         v_l, v_r = jnp.split(v_mix, 2, axis=-1)
-        v_norm = jnp.sqrt(jnp.sum(v_r**2, axis=-2, keepdims=True) + self.eps)
+        v_norm = jnp.sqrt(jnp.sum(v_r**2, axis=-2) + self.eps)  # (N, H)
 
         ts = jnp.concatenate([s, v_norm], axis=-1)
         ds, dv, dsv = jnp.split(self._context_net(ts, "mixing"), 3, axis=-1)
-        dv = v_l * dv
-        dsv = dsv * jnp.sum(v_r * v_l, axis=1, keepdims=True)
+        dv = v_l * dv[:, None, :]
+        dsv = dsv * jnp.sum(v_r * v_l, axis=-2)
 
         s = s + jnp.clip(ds + dsv, -1e2, 1e2)
         v = v + jnp.clip(dv, -1e2, 1e2)
@@ -176,15 +180,13 @@ class PaiNN(BaseModel):
         rel_disp = features["rel_disp"]
 
         # axis=-1: rel_disp is (E, dim) sparse or (N, K, dim) dense
-        norm_ij = jnp.sqrt(
-            jnp.sum(rel_disp**2, axis=-1, keepdims=True) + self.eps
-        )
-        dir_ij = rel_disp / (norm_ij + self.eps)
+        norm_ij = jnp.sqrt(jnp.sum(rel_disp**2, axis=-1) + self.eps)
+        dir_ij = rel_disp / (norm_ij[..., None] + self.eps)
 
         # rotationally-invariant filters from the radial basis
         phi = GaussianRBF(n_rbf=self.n_rbf, cutoff=self.radius, trainable=True)(
             norm_ij
-        )  # (E, 1, n_rbf)
+        )  # (..., n_rbf)
         n_filters = (
             3 * self.hidden_size
             if self.shared_filters
@@ -198,7 +200,7 @@ class PaiNN(BaseModel):
             filter_list = jnp.split(filters, self.num_mp_steps, axis=-1)
 
         # embeddings
-        s = LinearXav(self.hidden_size)(s0)[:, None]  # (N, 1, H)
+        s = LinearXav(self.hidden_size)(s0)  # (N, H)
         v = LinearXav(self.hidden_size, use_bias=False)(v0)  # (N, dim, H)
 
         for i in range(self.num_mp_steps):
@@ -207,7 +209,6 @@ class PaiNN(BaseModel):
             )(s, v, dir_ij, filter_list[i], senders, receivers)
 
         # gated readout, halving widths per block
-        s = jnp.squeeze(s, axis=1)
         width = self.hidden_size // 2
         s, v = GatedEquivariantBlock(
             hidden_size=width * 2,

@@ -86,6 +86,7 @@ class SEGNNLayer(nn.Module):
     output_irreps: Irreps
     n_blocks: int = 2
     norm: Optional[str] = None
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -108,7 +109,9 @@ class SEGNNLayer(nn.Module):
             gathered.append(additional_message_features)
         msg = concatenate(gathered)
         for _ in range(self.n_blocks):
-            msg = O3TensorProductGate(self.output_irreps)(msg, edge_attributes)
+            msg = O3TensorProductGate(
+                self.output_irreps, compute_dtype=self.compute_dtype
+            )(msg, edge_attributes)
 
         # aggregate to receivers (padded edges masked / dropped)
         agg = aggregate_to_receivers(msg.array, receivers, senders, n)
@@ -117,8 +120,12 @@ class SEGNNLayer(nn.Module):
         # update: phi_f steered by node attributes, residual
         x = concatenate([nodes, agg])
         for _ in range(self.n_blocks - 1):
-            x = O3TensorProductGate(self.output_irreps)(x, node_attributes)
-        update = O3TensorProduct(self.output_irreps)(x, node_attributes)
+            x = O3TensorProductGate(
+                self.output_irreps, compute_dtype=self.compute_dtype
+            )(x, node_attributes)
+        update = O3TensorProduct(
+            self.output_irreps, compute_dtype=self.compute_dtype
+        )(x, node_attributes)
 
         out = IrrepsArray(nodes.irreps, nodes.array + update.array)
         if self.norm == "instance":
@@ -151,6 +158,7 @@ class SEGNN(BaseModel):
     homogeneous_particles: bool = True
     norm: Optional[str] = None
     blocks_per_step: int = 2
+    compute_dtype: str = "float32"
 
     def _attributes(
         self, features: Dict[str, jnp.ndarray], n_nodes: int
@@ -221,7 +229,9 @@ class SEGNN(BaseModel):
         )
 
         # embedding
-        nodes = O3TensorProduct(hidden_irreps)(nodes, node_attributes)
+        nodes = O3TensorProduct(
+            hidden_irreps, compute_dtype=self.compute_dtype
+        )(nodes, node_attributes)
 
         # message passing
         senders = features["senders"]
@@ -231,6 +241,7 @@ class SEGNN(BaseModel):
                 output_irreps=hidden_irreps,
                 n_blocks=self.blocks_per_step,
                 norm=self.norm,
+                compute_dtype=self.compute_dtype,
             )(
                 nodes,
                 node_attributes,
@@ -243,8 +254,12 @@ class SEGNN(BaseModel):
         # decoder
         x = nodes
         for _ in range(self.blocks_per_step):
-            x = O3TensorProductGate(hidden_irreps)(x, node_attributes)
-        out = O3TensorProduct(Irreps(self.output_irreps))(x, node_attributes)
+            x = O3TensorProductGate(
+                hidden_irreps, compute_dtype=self.compute_dtype
+            )(x, node_attributes)
+        out = O3TensorProduct(
+            Irreps(self.output_irreps), compute_dtype=self.compute_dtype
+        )(x, node_attributes)
 
         acc = out.array
         if dim == 2:
@@ -279,4 +294,5 @@ def build_segnn(
         homogeneous_particles=homogeneous_particles,
         norm=None if cfg_model.segnn_norm in ("none", None) else cfg_model.segnn_norm,
         blocks_per_step=cfg_model.num_mlp_layers,
+        compute_dtype=cfg_model.get("compute_dtype", "float32"),
     )
