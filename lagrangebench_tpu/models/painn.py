@@ -187,17 +187,19 @@ class PaiNN(BaseModel):
         phi = GaussianRBF(n_rbf=self.n_rbf, cutoff=self.radius, trainable=True)(
             norm_ij
         )  # (..., n_rbf)
-        n_filters = (
-            3 * self.hidden_size
-            if self.shared_filters
-            else self.num_mp_steps * 3 * self.hidden_size
-        )
-        filters = LinearXav(n_filters)(phi)
-        filters = filters * cosine_cutoff(self.radius)(norm_ij)[..., None]
+        # filters are computed lazily per layer: one (n_rbf -> 3H) matmul
+        # inside the loop instead of materializing the full
+        # (E, num_mp_steps * 3H) tensor up front (same parameters — the
+        # per-layer weights are slices of the reference's single filter_net)
+        cut = cosine_cutoff(self.radius)(norm_ij)[..., None]
         if self.shared_filters:
-            filter_list = [filters] * self.num_mp_steps
+            shared = LinearXav(3 * self.hidden_size, name="filter_net")(phi) * cut
+            filter_list = [shared] * self.num_mp_steps
         else:
-            filter_list = jnp.split(filters, self.num_mp_steps, axis=-1)
+            filter_list = [
+                LinearXav(3 * self.hidden_size, name=f"filter_net_{i}")(phi) * cut
+                for i in range(self.num_mp_steps)
+            ]
 
         # embeddings
         s = LinearXav(self.hidden_size)(s0)  # (N, H)
