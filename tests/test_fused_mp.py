@@ -87,3 +87,66 @@ def test_fused_padding_does_not_contribute():
     np.testing.assert_allclose(
         np.asarray(out1["acc"]), np.asarray(out2["acc"]), atol=1e-5
     )
+
+
+def test_train_standard_then_infer_fused(tmp_path):
+    """The documented workflow: train the standard GNS, convert params,
+    roll out with the fused processor — rollouts must agree."""
+    import numpy as np
+
+    from lagrangebench_tpu.case import case_builder
+    from lagrangebench_tpu.data import DataLoader, H5Dataset
+    from lagrangebench_tpu.evaluate import MetricsComputer, eval_rollout
+    from lagrangebench_tpu.train import Trainer
+
+    from .fixtures import make_dataset
+
+    isl = 3
+    path = make_dataset(str(tmp_path))
+    data_train = H5Dataset("train", path, input_seq_length=isl)
+    data_valid = H5Dataset("valid", path, input_seq_length=isl, extra_seq_length=6)
+    md = data_train.metadata
+    bounds = np.asarray(md["bounds"])
+    case = case_builder(
+        box=(bounds[:, 1] - bounds[:, 0]).tolist(),
+        metadata=md,
+        input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.5, "format": "dense"},
+        noise_std=1e-4,
+        dtype=jnp.float32,
+    )
+    kwargs = dict(particle_dimension=3, latent_size=8, blocks_per_step=2,
+                  num_mp_steps=2)
+    std = GNS(**kwargs)
+    fused = GNS(**kwargs, use_fused_processor=True)
+    init_s, apply_s = make_model_fns(std)
+    _, apply_f = make_model_fns(fused)
+
+    trainer = Trainer(
+        (init_s, apply_s), case, data_train, data_valid,
+        cfg_train={"batch_size": 2, "noise_std": 1e-4,
+                   "pushforward": {"steps": [-1], "unrolls": [0], "probs": [1]}},
+        cfg_eval={"n_rollout_steps": 4, "train": {"n_trajs": 1},
+                  "infer": {"batch_size": 1}},
+        cfg_logging={"log_steps": 10, "eval_steps": 100},
+        input_seq_length=isl, seed=0,
+    )
+    params, state, _ = trainer.train(step_max=3)
+    params_fused = fused_params_from_standard(params, num_mp_steps=2)
+
+    def rollout_mse(apply, p):
+        loader = DataLoader(data_valid, batch_size=1)
+        pos, ptype = data_valid[0]
+        _, nbrs = case.allocate_eval((pos[:, :isl], ptype))
+        metrics = eval_rollout(
+            model_apply=apply, case=case, params=p, state={},
+            loader_eval=loader, neighbors=nbrs,
+            metrics_computer=MetricsComputer(
+                ["mse"], case.displacement, md, input_seq_length=isl),
+            n_rollout_steps=4, n_trajs=1, rollout_dir=None,
+        )
+        return np.asarray(metrics["rollout_0"]["mse"])
+
+    mse_std = rollout_mse(apply_s, params)
+    mse_fused = rollout_mse(apply_f, params_fused)
+    np.testing.assert_allclose(mse_std, mse_fused, rtol=1e-3, atol=1e-10)
