@@ -20,7 +20,7 @@ as the non-TPU fallback; both consume the same flat parameter dict.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Dict, Optional
 
 import jax

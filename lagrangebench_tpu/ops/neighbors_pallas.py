@@ -23,7 +23,6 @@ on CPU.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Callable, Optional, Sequence, Tuple
 
