@@ -78,7 +78,8 @@ class O3TensorProduct(nn.Module):
 
             cdt = jnp.dtype(self.compute_dtype)
             alpha = 1.0 / np.sqrt(fan_in)
-            out = None
+            tps = []
+            ws = []
             for i, j in paths:
                 gx, ax = x_groups[i]  # ax: (..., mul_x, 2l1+1)
                 gy, ay = y_groups[j]
@@ -91,22 +92,47 @@ class O3TensorProduct(nn.Module):
                     (gx.mul * gy.mul, g_out.mul),
                     jnp.float32,
                 )
-                # fused CG contraction + channel mixing
-                tp = jnp.einsum(
-                    "...um,...vn,mnp->...uvp",
-                    ax.astype(cdt),
-                    ay.astype(cdt),
-                    C,
-                    preferred_element_type=jnp.float32,
-                )
-                tp = tp.reshape(tp.shape[:-3] + (gx.mul * gy.mul, g_out.ir.dim))
-                term = jnp.einsum(
-                    "...kp,ko->...op",
-                    tp.astype(cdt),
-                    w.astype(cdt),
-                    preferred_element_type=jnp.float32,
-                )
-                out = term if out is None else out + term
+                if gy.mul == 1:
+                    # attribute-style right operand: pre-contract y with the
+                    # CG tensor. The (y, C) contraction is independent of x,
+                    # so XLA CSE reuses it across every layer/block that
+                    # shares the attributes.
+                    T = jnp.einsum(
+                        "...n,mnp->...mp",
+                        ay[..., 0, :].astype(cdt),
+                        C,
+                        preferred_element_type=jnp.float32,
+                    )
+                    tp = jnp.einsum(
+                        "...um,...mp->...up",
+                        ax.astype(cdt),
+                        T.astype(cdt),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    tp = jnp.einsum(
+                        "...um,...vn,mnp->...uvp",
+                        ax.astype(cdt),
+                        ay.astype(cdt),
+                        C,
+                        preferred_element_type=jnp.float32,
+                    )
+                    tp = tp.reshape(
+                        tp.shape[:-3] + (gx.mul * gy.mul, g_out.ir.dim)
+                    )
+                tps.append(tp)
+                ws.append(w)
+
+            # one channel-batched weight matmul per output group instead of
+            # one per path: fewer launches, better MXU utilization
+            tp_all = tps[0] if len(tps) == 1 else jnp.concatenate(tps, axis=-2)
+            w_all = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=0)
+            out = jnp.einsum(
+                "...kp,ko->...op",
+                tp_all.astype(cdt),
+                w_all.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
 
             out = out * alpha
             if use_bias:

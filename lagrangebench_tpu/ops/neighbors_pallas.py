@@ -39,6 +39,28 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _ghost_constants(cps, box, pbc, dim):
+    """Static ghost-layer constants: position shifts and validity mask.
+
+    Shapes broadcast against the wrap-padded (ncx+2, ..., C, [dim]) tables.
+    """
+    ext_shape = tuple(c + 2 for c in cps)
+    shift = np.zeros(ext_shape + (1, dim), dtype=np.float32)
+    invalid = np.zeros(ext_shape + (1,), dtype=bool)
+    for axis in range(dim):
+        idx_lo = [slice(None)] * dim
+        idx_hi = [slice(None)] * dim
+        idx_lo[axis] = slice(0, 1)
+        idx_hi[axis] = slice(ext_shape[axis] - 1, ext_shape[axis])
+        if pbc[axis]:
+            shift[tuple(idx_lo)][..., axis] -= box[axis]
+            shift[tuple(idx_hi)][..., axis] += box[axis]
+        else:
+            invalid[tuple(idx_lo)] = True
+            invalid[tuple(idx_hi)] = True
+    return shift, invalid
+
+
 def _extend_table(
     table_idx: jnp.ndarray,  # (ncx, ncy, ncz, C) or (ncx, ncy, C)
     table_pos: jnp.ndarray,  # (..., C, dim)
@@ -46,31 +68,27 @@ def _extend_table(
     pbc: Sequence[bool],
     n: int,
 ):
-    """Add ghost layers on every cell axis (wrap+shift or sentinel)."""
-    dim = table_pos.shape[-1]
-    sentinel = jnp.asarray(1e9, table_pos.dtype)
+    """Add ghost layers on every cell axis (wrap+shift or sentinel).
 
-    for axis in range(dim):
-        if pbc[axis]:
-            last_i = jax.lax.slice_in_dim(table_idx, -1, None, axis=axis)
-            first_i = jax.lax.slice_in_dim(table_idx, 0, 1, axis=axis)
-            last_p = jax.lax.slice_in_dim(table_pos, -1, None, axis=axis)
-            first_p = jax.lax.slice_in_dim(table_pos, 0, 1, axis=axis)
-            shift = jnp.zeros((dim,), table_pos.dtype).at[axis].set(box[axis])
-            table_idx = jnp.concatenate([last_i, table_idx, first_i], axis=axis)
-            table_pos = jnp.concatenate(
-                [last_p - shift, table_pos, first_p + shift], axis=axis
-            )
-        else:
-            pad_shape_i = list(table_idx.shape)
-            pad_shape_i[axis] = 1
-            pad_shape_p = list(table_pos.shape)
-            pad_shape_p[axis] = 1
-            pad_i = jnp.full(pad_shape_i, n, table_idx.dtype)
-            pad_p = jnp.full(pad_shape_p, sentinel, table_pos.dtype)
-            table_idx = jnp.concatenate([pad_i, table_idx, pad_i], axis=axis)
-            table_pos = jnp.concatenate([pad_p, table_pos, pad_p], axis=axis)
-    return table_idx, table_pos
+    One wrap-pad per table plus adds with STATIC shift/validity constants —
+    a handful of kernels instead of two concats per axis per array (kernel
+    count matters on launch-overhead-heavy runtimes).
+    """
+    dim = table_pos.shape[-1]
+    cps = table_idx.shape[:-1]
+    pad_cells = tuple((1, 1) for _ in range(dim))
+
+    ext_idx = jnp.pad(table_idx, pad_cells + ((0, 0),), mode="wrap")
+    ext_pos = jnp.pad(table_pos, pad_cells + ((0, 0), (0, 0)), mode="wrap")
+
+    shift, invalid = _ghost_constants(cps, box, pbc, dim)
+    ext_pos = ext_pos + jnp.asarray(shift, ext_pos.dtype)
+    if invalid.any():
+        sentinel = jnp.asarray(1e9, ext_pos.dtype)
+        inv = jnp.asarray(invalid)
+        ext_idx = jnp.where(inv, n, ext_idx)
+        ext_pos = jnp.where(inv[..., None], sentinel, ext_pos)
+    return ext_idx, ext_pos
 
 
 def _scan_kernel(
