@@ -129,12 +129,13 @@ def _scan_kernel(
     mask = (dist2 <= cutoff2) & (cand[None, :] < n_particles)
 
     # prefix-sum along the candidate axis as an MXU matmul with an
-    # upper-triangular ones matrix (mosaic has no cumsum primitive)
+    # upper-triangular ones matrix (mosaic has no cumsum primitive);
+    # bf16 is exact here: per-row counts are bounded by R < 256
     r = mask.shape[1]
     tri_rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     tri_cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
-    tri = (tri_rows <= tri_cols).astype(jnp.float32)
-    mi_f = mask.astype(jnp.float32)
+    tri = (tri_rows <= tri_cols).astype(jnp.bfloat16)
+    mi_f = mask.astype(jnp.bfloat16)
     csum = jnp.dot(mi_f, tri, preferred_element_type=jnp.float32)
     mi = mask.astype(jnp.int32)
     slot = counts[...] + csum.astype(jnp.int32) - 1  # (R, R)
