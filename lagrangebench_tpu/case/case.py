@@ -28,7 +28,7 @@ from ..defaults import defaults, resolve_backend
 from ..ops import neighbors as nb
 from ..ops import space
 from ..train.strats import add_gns_noise
-from .features import FeatureDict, TargetDict, physical_feature_builder
+from .features import TargetDict, physical_feature_builder
 
 
 class CaseSetupFn(NamedTuple):

@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

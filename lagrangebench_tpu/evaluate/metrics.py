@@ -11,7 +11,6 @@ potentials. Runs entirely on device (TPU-friendly: fixed-shape while_loop).
 from __future__ import annotations
 
 from collections import defaultdict
-from functools import partial
 from typing import Callable, Dict, List, Optional
 
 import jax

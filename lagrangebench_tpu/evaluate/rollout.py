@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from functools import partial
 from typing import Callable, Dict, Iterable, Optional, Tuple, Union
 
 import jax

@@ -16,7 +16,7 @@ TPU-first re-implementation of the encoder-processor-decoder GNS
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -16,8 +16,6 @@ semantics of the sparse scatter.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 from datetime import datetime
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,7 @@ from .case import case_builder
 from .checkpoint import load_checkpoint
 from .config import Config, save_yaml
 from .data import H5Dataset
-from .defaults import check_cfg, defaults
+from .defaults import check_cfg
 from .evaluate import averaged_metrics, infer
 from .models import setup_model
 from .parallel import make_mesh

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Dict, Optional, Tuple, Union
+from typing import Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,7 @@ from ..data import DataLoader, H5Dataset
 from ..defaults import defaults
 from ..evaluate import MetricsComputer, averaged_metrics, eval_rollout
 from ..models import make_model_fns
-from ..parallel import batch_sharding, replicate_sharding, shard_batch
+from ..parallel import replicate_sharding, shard_batch
 from ..profiling import ProfilerHook, StepTimer
 from ..utils import (
     broadcast_from_batch,
