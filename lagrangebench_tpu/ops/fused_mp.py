@@ -20,7 +20,7 @@ as the non-TPU fallback; both consume the same flat parameter dict.
 
 from __future__ import annotations
 
-
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -129,12 +129,48 @@ def gns_mp_step(
     tile: int = 256,
     interpret: Optional[bool] = None,
 ):
-    """Run the fused MP step; falls back to the pure-jax mirror off-TPU."""
+    """Run the fused MP step (differentiable).
+
+    Off-TPU the pure-jax mirror runs directly (natively differentiable). On
+    TPU the Pallas kernel runs forward and a custom VJP rematerializes the
+    backward through the mirror — so the fused processor is trainable, with
+    the forward on the fast path.
+    """
     if interpret is None:
         if jax.default_backend() != "tpu":
             return gns_mp_step_reference(e, hs_gath, hr_proj, h, mask, p)
         interpret = False
+    mask = mask.astype(jnp.float32)  # custom_vjp needs float cotangents
+    return _gns_mp_step_vjp(e, hs_gath, hr_proj, h, mask, p, tile, interpret)
 
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _gns_mp_step_vjp(e, hs_gath, hr_proj, h, mask, p, tile, interpret):
+    return _gns_mp_step_pallas(e, hs_gath, hr_proj, h, mask, p, tile, interpret)
+
+
+def _gns_mp_step_vjp_fwd(e, hs_gath, hr_proj, h, mask, p, tile, interpret):
+    out = _gns_mp_step_pallas(e, hs_gath, hr_proj, h, mask, p, tile, interpret)
+    return out, (e, hs_gath, hr_proj, h, mask, p)
+
+
+def _gns_mp_step_vjp_bwd(tile, interpret, residuals, cotangents):
+    e, hs_gath, hr_proj, h, mask, p = residuals
+    _, vjp = jax.vjp(
+        lambda e_, hs_, hr_, h_, p_: gns_mp_step_reference(
+            e_, hs_, hr_, h_, mask, p_
+        ),
+        e, hs_gath, hr_proj, h, p,
+    )
+    de, dhs, dhr, dh, dp = vjp(cotangents)
+    return de, dhs, dhr, dh, jnp.zeros_like(mask), dp
+
+
+_gns_mp_step_vjp.defvjp(_gns_mp_step_vjp_fwd, _gns_mp_step_vjp_bwd)
+
+
+def _gns_mp_step_pallas(e, hs_gath, hr_proj, h, mask, p, tile, interpret):
+    """Forward Pallas launch (see module docstring for the math)."""
     n, k, f = e.shape
     tile = min(tile, n)
     n_pad = -n % tile
