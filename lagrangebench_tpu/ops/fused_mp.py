@@ -126,7 +126,7 @@ def gns_mp_step(
     h: jnp.ndarray,
     mask: jnp.ndarray,
     p: Dict[str, jnp.ndarray],
-    tile: int = 256,
+    tile: int = 128,
     interpret: Optional[bool] = None,
 ):
     """Run the fused MP step (differentiable).
