@@ -1,7 +1,14 @@
 """Minimal self-contained O(3) steerable-feature engine for SEGNN."""
 
 from .basis import clebsch_gordan, spherical_harmonics_fn, wigner_d
-from .irreps import Irrep, Irreps, IrrepsArray, MulIrrep, concatenate
+from .irreps import (
+    Irrep,
+    Irreps,
+    IrrepsArray,
+    MulIrrep,
+    concatenate,
+    from_mul_major,
+)
 from .tensor import O3TensorProduct, O3TensorProductGate, gate
 
 __all__ = [
@@ -10,6 +17,7 @@ __all__ = [
     "IrrepsArray",
     "MulIrrep",
     "concatenate",
+    "from_mul_major",
     "O3TensorProduct",
     "O3TensorProductGate",
     "gate",

@@ -145,7 +145,17 @@ class Irreps(tuple):
 
 
 class IrrepsArray:
-    """An array whose trailing axis is laid out according to `irreps`."""
+    """An array whose trailing axis is laid out according to `irreps`.
+
+    Storage convention is **m-major**: each group's flat chunk is the
+    row-major flattening of ``(2l+1, mul)``. On TPU this puts the (usually
+    large) multiplicity on the fastest-varying axis, so grouped views pad
+    lanes by ~mul/128 instead of ~(2l+1)/128 — the difference between 2.8x
+    and 42x wasted bandwidth for l=1 hidden features.
+
+    Use ``from_mul_major`` to ingest externally-built features laid out as
+    (mul, 2l+1) runs (e.g. a stacked velocity history).
+    """
 
     def __init__(self, irreps: Union[str, Irreps], array: jnp.ndarray):
         self.irreps = Irreps(irreps)
@@ -160,13 +170,32 @@ class IrrepsArray:
         return self.array.shape
 
     def groups(self) -> Iterator[Tuple[MulIrrep, jnp.ndarray]]:
-        """Yield (group, array slice reshaped to (..., mul, 2l+1))."""
+        """Yield (group, array slice reshaped to (..., 2l+1, mul))."""
         for g, sl in zip(self.irreps, self.irreps.slices()):
             chunk = self.array[..., sl]
-            yield g, chunk.reshape(chunk.shape[:-1] + (g.mul, g.ir.dim))
+            yield g, chunk.reshape(chunk.shape[:-1] + (g.ir.dim, g.mul))
 
     def __repr__(self):
         return f"IrrepsArray({self.irreps}, shape={self.array.shape})"
+
+
+def from_mul_major(irreps: Union[str, Irreps], array: jnp.ndarray) -> IrrepsArray:
+    """Build an IrrepsArray from a mul-major flat array.
+
+    External features are naturally (mul, 2l+1)-flattened (e.g. K stacked
+    3-vectors); this transposes each group chunk into the engine's m-major
+    storage. Groups with mul == 1 or l == 0 are layout-invariant.
+    """
+    irreps = Irreps(irreps)
+    chunks = []
+    for g, sl in zip(irreps, irreps.slices()):
+        chunk = array[..., sl]
+        if g.mul > 1 and g.ir.dim > 1:
+            chunk = chunk.reshape(chunk.shape[:-1] + (g.mul, g.ir.dim))
+            chunk = jnp.swapaxes(chunk, -1, -2)
+            chunk = chunk.reshape(chunk.shape[:-2] + (g.dim,))
+        chunks.append(chunk)
+    return IrrepsArray(irreps, jnp.concatenate(chunks, axis=-1))
 
 
 def concatenate(arrays: List[IrrepsArray]) -> IrrepsArray:

@@ -92,6 +92,7 @@ class O3TensorProduct(nn.Module):
                     (gx.mul * gy.mul, g_out.mul),
                     jnp.float32,
                 )
+                # m-major layouts: ax (..., m, u); ay (..., n, v)
                 if gy.mul == 1:
                     # attribute-style right operand: pre-contract y with the
                     # CG tensor. The (y, C) contraction is independent of x,
@@ -99,36 +100,36 @@ class O3TensorProduct(nn.Module):
                     # shares the attributes.
                     T = jnp.einsum(
                         "...n,mnp->...mp",
-                        ay[..., 0, :].astype(cdt),
+                        ay[..., 0].astype(cdt),
                         C,
                         preferred_element_type=jnp.float32,
                     )
                     tp = jnp.einsum(
-                        "...um,...mp->...up",
+                        "...mu,...mp->...pu",
                         ax.astype(cdt),
                         T.astype(cdt),
                         preferred_element_type=jnp.float32,
-                    )
+                    )  # (..., p, u): channel order u (v == 1)
                 else:
                     tp = jnp.einsum(
-                        "...um,...vn,mnp->...uvp",
+                        "...mu,...nv,mnp->...puv",
                         ax.astype(cdt),
                         ay.astype(cdt),
                         C,
                         preferred_element_type=jnp.float32,
                     )
                     tp = tp.reshape(
-                        tp.shape[:-3] + (gx.mul * gy.mul, g_out.ir.dim)
-                    )
+                        tp.shape[:-2] + (gx.mul * gy.mul,)
+                    )  # (..., p, u*v): channel order matches w rows
                 tps.append(tp)
                 ws.append(w)
 
             # one channel-batched weight matmul per output group instead of
             # one per path: fewer launches, better MXU utilization
-            tp_all = tps[0] if len(tps) == 1 else jnp.concatenate(tps, axis=-2)
+            tp_all = tps[0] if len(tps) == 1 else jnp.concatenate(tps, axis=-1)
             w_all = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=0)
             out = jnp.einsum(
-                "...kp,ko->...op",
+                "...pk,ko->...po",
                 tp_all.astype(cdt),
                 w_all.astype(cdt),
                 preferred_element_type=jnp.float32,
@@ -142,7 +143,7 @@ class O3TensorProduct(nn.Module):
                     (g_out.mul,),
                     x.array.dtype,
                 )
-                out = out + b[..., None]
+                out = out + b  # (..., p=1, o) + (o,)
             chunks.append(out.reshape(out.shape[:-2] + (g_out.dim,)))
 
         return IrrepsArray(output_irreps, jnp.concatenate(chunks, axis=-1))
@@ -166,18 +167,19 @@ def gate(
     assert first.ir == Irrep(0, 1) and first.mul == n_gates, (
         f"first group must hold the {n_gates} gates, got {first}"
     )
-    gates = gate_activation(a_first[..., 0])  # (..., n_gates)
+    # m-major: a_first is (..., 1, n_gates)
+    gates = gate_activation(a_first[..., 0, :])  # (..., n_gates)
 
     out_groups = []
     out_irreps = []
     used = 0
-    for g, a in groups[1:]:
+    for g, a in groups[1:]:  # a: (..., 2l+1, mul)
         if g.ir.l == 0:
             out = scalar_activation(a)
         else:
             gsel = gates[..., used : used + g.mul]
             used += g.mul
-            out = a * gsel[..., None]
+            out = a * gsel[..., None, :]
         out_groups.append(out.reshape(out.shape[:-2] + (g.dim,)))
         out_irreps.append(g)
     assert used == n_gates, f"gate count mismatch: used {used} of {n_gates}"

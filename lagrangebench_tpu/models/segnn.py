@@ -31,6 +31,7 @@ from .base import BaseModel, Sample
 from .e3 import (
     Irreps,
     IrrepsArray,
+    from_mul_major,
     O3TensorProduct,
     O3TensorProductGate,
     concatenate,
@@ -136,9 +137,9 @@ class SEGNNLayer(nn.Module):
 def _instance_norm(z: IrrepsArray, eps: float = 1e-6) -> IrrepsArray:
     """RMS-normalize each irrep channel over the node axis."""
     outs = []
-    for g, a in z.groups():  # a: (N, mul, 2l+1)
-        norm2 = jnp.mean(jnp.sum(a**2, axis=-1), axis=0, keepdims=True)  # (1, mul)
-        a = a / jnp.sqrt(norm2 + eps)[..., None]
+    for g, a in z.groups():  # a: (N, 2l+1, mul) m-major
+        norm2 = jnp.mean(jnp.sum(a**2, axis=-2), axis=0, keepdims=True)  # (1, mul)
+        a = a / jnp.sqrt(norm2 + eps)[..., None, :]
         outs.append(a.reshape(a.shape[:-2] + (g.dim,)))
     return IrrepsArray(z.irreps, jnp.concatenate(outs, axis=-1))
 
@@ -210,7 +211,9 @@ class SEGNN(BaseModel):
             node_feats.append(features["vel_mag"])
         if not self.homogeneous_particles:
             node_feats.append(jax.nn.one_hot(particle_type, NodeType.SIZE))
-        nodes = IrrepsArray(
+        # externally-built features are mul-major (K stacked vectors);
+        # convert into the engine's m-major storage once at the boundary
+        nodes = from_mul_major(
             Irreps(self.node_features_irreps),
             jnp.concatenate(node_feats, axis=-1),
         )

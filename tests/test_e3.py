@@ -74,12 +74,13 @@ def test_spherical_harmonics_equivariance():
 
 
 def _rotate(irreps: Irreps, x: np.ndarray, R: np.ndarray) -> np.ndarray:
-    """Rotate an irreps-laid-out array (ignoring parity: rotations only)."""
+    """Rotate an irreps array in the engine's m-major layout (rotation only)."""
     out = np.array(x)
     for g, sl in zip(irreps, irreps.slices()):
         D = wigner_d(g.ir.l, R)
-        chunk = x[..., sl].reshape(x.shape[:-1] + (g.mul, g.ir.dim))
-        out[..., sl] = (chunk @ D.T).reshape(x.shape[:-1] + (g.dim,))
+        chunk = x[..., sl].reshape(x.shape[:-1] + (g.ir.dim, g.mul))
+        rotated = np.einsum("pq,...qu->...pu", D, chunk)
+        out[..., sl] = rotated.reshape(x.shape[:-1] + (g.dim,))
     return out
 
 
