@@ -95,11 +95,12 @@ class PaiNNLayer(nn.Module):
     activation: Callable = nn.silu
     blocks: int = 2
     eps: float = 1e-8
+    dtype: jnp.dtype = None
 
     def _context_net(self, x, name):
         for _ in range(self.blocks - 1):
-            x = self.activation(LinearXav(self.hidden_size)(x))
-        return LinearXav(3 * self.hidden_size)(x)
+            x = self.activation(LinearXav(self.hidden_size, dtype=self.dtype)(x))
+        return LinearXav(3 * self.hidden_size, dtype=self.dtype)(x)
 
     @nn.compact
     def __call__(
@@ -128,7 +129,7 @@ class PaiNNLayer(nn.Module):
         v = v + jnp.clip(dv, -1e2, 1e2)
 
         # -- update (intra-particle)
-        v_mix = LinearXav(2 * self.hidden_size, use_bias=False)(v)
+        v_mix = LinearXav(2 * self.hidden_size, use_bias=False, dtype=self.dtype)(v)
         v_l, v_r = jnp.split(v_mix, 2, axis=-1)
         v_norm = jnp.sqrt(jnp.sum(v_r**2, axis=-2) + self.eps)  # (N, H)
 
@@ -155,6 +156,7 @@ class PaiNN(BaseModel):
     activation: Callable = nn.silu
     shared_filters: bool = False
     eps: float = 1e-8
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, sample: Sample) -> Dict[str, jnp.ndarray]:
@@ -184,31 +186,34 @@ class PaiNN(BaseModel):
         dir_ij = rel_disp / (norm_ij[..., None] + self.eps)
 
         # rotationally-invariant filters from the radial basis
+        cdt = jnp.dtype(self.compute_dtype)
         phi = GaussianRBF(n_rbf=self.n_rbf, cutoff=self.radius, trainable=True)(
             norm_ij
-        )  # (..., n_rbf)
+        ).astype(cdt)  # (..., n_rbf)
         # filters are computed lazily per layer: one (n_rbf -> 3H) matmul
         # inside the loop instead of materializing the full
         # (E, num_mp_steps * 3H) tensor up front (same parameters — the
         # per-layer weights are slices of the reference's single filter_net)
         cut = cosine_cutoff(self.radius)(norm_ij)[..., None]
         if self.shared_filters:
-            shared = LinearXav(3 * self.hidden_size, name="filter_net")(phi) * cut
+            shared = LinearXav(3 * self.hidden_size, name="filter_net", dtype=cdt)(phi) * cut.astype(cdt)
             filter_list = [shared] * self.num_mp_steps
         else:
             filter_list = [
-                LinearXav(3 * self.hidden_size, name=f"filter_net_{i}")(phi) * cut
+                LinearXav(3 * self.hidden_size, name=f"filter_net_{i}", dtype=cdt)(phi)
+                * cut.astype(cdt)
                 for i in range(self.num_mp_steps)
             ]
 
         # embeddings
-        s = LinearXav(self.hidden_size)(s0)  # (N, H)
-        v = LinearXav(self.hidden_size, use_bias=False)(v0)  # (N, dim, H)
+        s = LinearXav(self.hidden_size, dtype=cdt)(s0)  # (N, H)
+        v = LinearXav(self.hidden_size, use_bias=False, dtype=cdt)(v0)  # (N, dim, H)
 
         for i in range(self.num_mp_steps):
             s, v = PaiNNLayer(
-                hidden_size=self.hidden_size, activation=self.activation
-            )(s, v, dir_ij, filter_list[i], senders, receivers)
+                hidden_size=self.hidden_size, activation=self.activation,
+                dtype=cdt,
+            )(s, v, dir_ij.astype(cdt), filter_list[i], senders, receivers)
 
         # gated readout, halving widths per block
         width = self.hidden_size // 2
@@ -227,7 +232,7 @@ class PaiNN(BaseModel):
             eps=self.eps,
         )(s, v)
 
-        return {"acc": jnp.squeeze(v, axis=-1)}
+        return {"acc": jnp.squeeze(v, axis=-1).astype(jnp.float32)}
 
 
 def build_painn(cfg_model, metadata):
@@ -241,4 +246,5 @@ def build_painn(cfg_model, metadata):
         n_rbf=20,
         radius=metadata["default_connectivity_radius"] * 1.5,
         n_vels=cfg_model.input_seq_length - 1,
+        compute_dtype=cfg_model.get("compute_dtype", "float32"),
     )

@@ -47,12 +47,16 @@ class MLPXav(nn.Module):
     use_bias: bool = True
     activation: Callable = nn.silu
     activate_final: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, w in enumerate(self.output_sizes):
             x = nn.Dense(
-                w, use_bias=self.use_bias, kernel_init=nn.initializers.xavier_uniform()
+                w,
+                use_bias=self.use_bias,
+                kernel_init=nn.initializers.xavier_uniform(),
+                dtype=self.dtype,
             )(x)
             if i < len(self.output_sizes) - 1 or self.activate_final:
                 x = self.activation(x)
@@ -64,6 +68,7 @@ class LinearXav(nn.Module):
 
     output_size: int
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -71,6 +76,7 @@ class LinearXav(nn.Module):
             self.output_size,
             use_bias=self.use_bias,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
         )(x)
 
 

@@ -55,7 +55,7 @@ def bench_forward(name, n, dim, mp, latent, magnitudes=False, n_iter=20):
     isl = 6
     case, metadata, cfg_model = make_case(
         n, dim, isl, magnitudes, name, mp, latent,
-        "bfloat16" if name in ("gns", "segnn") else "float32",
+        "bfloat16",
     )
     stats = {
         "velocity": {"mean": jnp.zeros(dim), "std": jnp.ones(dim)},
