@@ -131,7 +131,10 @@ def set_defaults() -> Config:
 
     # -- neighbor list ----------------------------------------------------
     cfg.neighbors = Config()
-    cfg.neighbors.backend = "celllist"  # allpairs | celllist | pallas
+    # allpairs | celllist | pallas. The pallas kernel is the fastest for
+    # single-trajectory (batch=1) rollouts on TPU; under vmapped batches it
+    # currently lowers poorly — keep celllist for batched training/eval.
+    cfg.neighbors.backend = "celllist"
     cfg.neighbors.multiplier = 1.25  # capacity headroom on the edge buffer
     # edge layout: "dense" (N, K) per-receiver sender matrix — the TPU fast
     # path (scatter-free build + aggregation); "sparse" (2, E) compacted
