@@ -34,14 +34,16 @@ def _build_rollout_fn(model_apply: Callable, case, t_window: int) -> Callable:
     neighbors_batch, targets_tm) -> (predictions, overflow, neighbors).
     ``targets_tm`` is time-major (T, B, N, dim).
     """
+    from ..ops.batching import flatten_graph_batch, unflatten_nodes
+
     preprocess_eval_vmap = jax.vmap(case.preprocess_eval, in_axes=(0, 0))
     integrate_vmap = jax.vmap(case.integrate, in_axes=(0, 0))
-    apply_vmap = jax.vmap(model_apply, in_axes=(None, None, 0))
 
     @jax.jit
     def rollout_fn(params, state, current_batch, particle_type_batch,
                    neighbors_batch, targets_tm):
         kinematic = get_kinematic_mask(particle_type_batch)  # (B, N)
+        b, n = particle_type_batch.shape
 
         def step(carry, target_t):
             current, nbrs, st, overflow = carry
@@ -49,11 +51,16 @@ def _build_rollout_fn(model_apply: Callable, case, t_window: int) -> Callable:
                 (current, particle_type_batch), nbrs
             )
             overflow = overflow | jnp.any(nbrs.did_buffer_overflow)
-            pred, st_b = apply_vmap(params, st, (features, particle_type_batch))
+            # run the model on the disjoint super-graph: batched-dims
+            # gathers under vmap lower poorly on TPU (see ops/batching.py)
+            flat_features, flat_ptype = flatten_graph_batch(
+                features, particle_type_batch
+            )
+            pred_flat, st = model_apply(params, st, (flat_features, flat_ptype))
+            pred = {k: unflatten_nodes(v, b, n) for k, v in pred_flat.items()}
             next_pos = integrate_vmap(pred, current)
             # kinematic particles follow the ground truth
             next_pos = jnp.where(kinematic[..., None], target_t, next_pos)
-            st = broadcast_from_batch(st_b, 0)
             current = jnp.concatenate(
                 [current[:, :, 1:], next_pos[:, :, None]], axis=2
             )

@@ -161,3 +161,56 @@ def test_gns_output_agrees_across_formats(periodic_case_pair):
     np.testing.assert_allclose(
         np.asarray(out_sparse["acc"]), np.asarray(out_dense["acc"]), atol=1e-8
     )
+
+
+def test_batched_rollout_equals_individual(periodic_case_pair):
+    """A batched rollout (disjoint super-graph execution) must reproduce
+    per-trajectory rollouts exactly."""
+    import jax
+
+    from lagrangebench_tpu.evaluate import MetricsComputer
+    from lagrangebench_tpu.evaluate.rollout import (
+        _build_rollout_fn,
+        _eval_batched_rollout,
+    )
+
+    cases, pos, ptype = periodic_case_pair
+    case = cases["dense"]
+    isl, n_steps = 3, 5
+
+    # three different trajectories from shifted versions of the fixture
+    rng = np.random.default_rng(7)
+    trajs = [np.mod(pos + rng.uniform(0, 1.5), 1.5) for _ in range(3)]
+
+    model = GNS(particle_dimension=3, latent_size=8, blocks_per_step=2,
+                num_mp_steps=2)
+    init, apply = make_model_fns(model)
+    f0, nbrs = case.allocate_eval((jnp.asarray(trajs[0])[:, :isl], ptype))
+    params, state = init(jax.random.PRNGKey(0), (f0, jnp.asarray(ptype)))
+
+    rollout_fn = _build_rollout_fn(apply, case, isl)
+    metrics_vmap = jax.vmap(
+        MetricsComputer(["mse"], case.displacement,
+                        {"dt": 1, "dx": 1, "dim": 3, "write_every": 1},
+                        input_seq_length=isl),
+        in_axes=(0, 0),
+    )
+
+    def run(batch_trajs):
+        batch = (
+            jnp.asarray(np.stack(batch_trajs)),
+            jnp.asarray(np.stack([ptype] * len(batch_trajs))),
+        )
+        preds, _, _ = _eval_batched_rollout(
+            rollout_fn, case, params, state, batch, nbrs, metrics_vmap,
+            n_rollout_steps=n_steps, t_window=isl,
+        )
+        return np.asarray(preds)
+
+    batched = run(trajs)
+    for i, traj in enumerate(trajs):
+        single = run([traj])
+        np.testing.assert_allclose(
+            batched[i], single[0], atol=1e-5,
+            err_msg=f"trajectory {i} differs between batched and single",
+        )
