@@ -163,9 +163,10 @@ def test_gns_output_agrees_across_formats(periodic_case_pair):
     )
 
 
-def test_batched_rollout_equals_individual(periodic_case_pair):
+@pytest.mark.parametrize("fmt", ["dense", "sparse"])
+def test_batched_rollout_equals_individual(periodic_case_pair, fmt):
     """A batched rollout (disjoint super-graph execution) must reproduce
-    per-trajectory rollouts exactly."""
+    per-trajectory rollouts exactly, in both edge layouts."""
     import jax
 
     from lagrangebench_tpu.evaluate import MetricsComputer
@@ -175,7 +176,7 @@ def test_batched_rollout_equals_individual(periodic_case_pair):
     )
 
     cases, pos, ptype = periodic_case_pair
-    case = cases["dense"]
+    case = cases[fmt]
     isl, n_steps = 3, 5
 
     # three different trajectories from shifted versions of the fixture
