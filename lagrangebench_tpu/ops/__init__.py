@@ -1,7 +1,13 @@
 """TPU-native numerical primitives: spaces, neighbor search, scatter ops."""
 
+from .batching import flatten_graph_batch, unflatten_nodes
 from .neighbors import NeighborList, NeighborListFns, neighbor_list
-from .scatter import segment_mean, segment_sum
+from .scatter import (
+    aggregate_mean_to_receivers,
+    aggregate_to_receivers,
+    segment_mean,
+    segment_sum,
+)
 from .space import distance, free, periodic
 
 __all__ = [
@@ -10,6 +16,10 @@ __all__ = [
     "neighbor_list",
     "segment_sum",
     "segment_mean",
+    "aggregate_to_receivers",
+    "aggregate_mean_to_receivers",
+    "flatten_graph_batch",
+    "unflatten_nodes",
     "periodic",
     "free",
     "distance",
