@@ -1,6 +1,7 @@
 """Device-mesh parallelism helpers."""
 
 from .mesh import (
+    DATA_AXIS,
     batch_sharding,
     init_distributed,
     make_mesh,
@@ -9,6 +10,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "DATA_AXIS",
     "make_mesh",
     "batch_sharding",
     "replicate_sharding",

@@ -38,6 +38,7 @@ from ..data import DataLoader, H5Dataset
 from ..defaults import defaults
 from ..evaluate import MetricsComputer, averaged_metrics, eval_rollout
 from ..models import make_model_fns
+from ..ops.batching import flatten_graph_batch
 from ..parallel import replicate_sharding, shard_batch
 from ..profiling import ProfilerHook, StepTimer
 from ..utils import (
@@ -66,6 +67,29 @@ def mse_loss(params, state, features, particle_type, target, model_apply, loss_w
         total = total + (w * (pred[key] - target[key]) ** 2).sum(axis=-1)
     total = jnp.where(non_kinematic, total, 0.0)
     return total.sum() / num_non_kinematic, state
+
+
+def flat_mse_loss(
+    params, state, flat_features, flat_ptype, flat_target, node_weight,
+    model_apply, loss_weight,
+):
+    """Sum of per-sample masked MSE losses on the flattened super-graph.
+
+    ``node_weight`` carries the per-sample ``1 / num_non_kinematic``
+    normalization (zero on kinematic/padding nodes), so the scalar returned
+    here equals ``sum_b mse_loss(sample_b)`` and its gradient equals the
+    reference's summed per-sample gradients (reference trainer.py:82-84)
+    while the model itself runs un-vmapped on the disjoint super-graph
+    (vmapped GNN gathers lower ~27x slower on TPU — ops/batching.py).
+    """
+    pred, state = model_apply(params, state, (flat_features, flat_ptype))
+    total = 0.0
+    for key in pred:
+        w = loss_weight[key] if isinstance(loss_weight, dict) else getattr(loss_weight, key)
+        if w == 0.0:
+            continue
+        total = total + (w * (pred[key] - flat_target[key]) ** 2).sum(axis=-1)
+    return (total * node_weight).sum(), state
 
 
 class Trainer:
@@ -172,17 +196,22 @@ class Trainer:
         opt_update = self.opt_update
         loss_weight = self.cfg_train.loss_weight.to_dict()
         isl = self.input_seq_length
+        mesh = self.mesh
+        batch_size = self.batch_size
 
-        loss_fn = partial(
-            mse_loss, model_apply=model_apply, loss_weight=loss_weight
+        flat_loss_fn = partial(
+            flat_mse_loss, model_apply=model_apply, loss_weight=loss_weight
         )
         push_forward = push_forward_build(model_apply, case)
 
-        @partial(jax.jit, static_argnames=("unroll_steps",))
-        def train_step(
-            params, state, opt_state, keys, raw_batch, neighbors_batch,
-            noise_std, unroll_steps: int,
-        ):
+        def local_step(params, state, keys, raw_batch, neighbors_batch,
+                       noise_std, unroll_steps: int):
+            """Loss-sum + summed grads over the (device-local) batch.
+
+            Preprocess/pushforward stay vmapped per sample (noise, NL update
+            and targets are per-graph), but the differentiated model forward
+            runs un-vmapped on the flattened disjoint super-graph.
+            """
             preprocess_vmap = jax.vmap(case.preprocess, in_axes=(0, 0, None, 0, None))
             new_keys, features_b, targets_b, nbrs_b = preprocess_vmap(
                 keys, raw_batch, noise_std, neighbors_batch, unroll_steps
@@ -199,18 +228,76 @@ class Trainer:
 
             overflow = jnp.any(nbrs_b.did_buffer_overflow)
 
-            vg = jax.vmap(
-                jax.value_and_grad(loss_fn, has_aux=True),
-                in_axes=(None, None, 0, 0, 0),
+            ptype_b = raw_batch[1]
+            b, n = ptype_b.shape
+            flat_features, flat_ptype = flatten_graph_batch(features_b, ptype_b)
+            flat_targets = {
+                k: v.reshape((b * n,) + v.shape[2:]) for k, v in targets_b.items()
+            }
+            # per-sample 1/num_non_kinematic, scattered to the sample's nodes
+            non_kin = jnp.logical_not(get_kinematic_mask(ptype_b))
+            per_sample = non_kin.sum(axis=1).astype(flat_targets["acc"].dtype)
+            node_weight = (
+                non_kin / jnp.maximum(per_sample, 1)[:, None]
+            ).reshape(b * n)
+
+            (loss_sum, new_state), grads = jax.value_and_grad(
+                flat_loss_fn, has_aux=True
+            )(params, state, flat_features, flat_ptype, flat_targets, node_weight)
+            return loss_sum, grads, new_state, new_keys, nbrs_b, overflow
+
+        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+            # shard_map keeps each device's super-graph local: gathers and
+            # scatters never cross shards, grads reduce with one ICI psum
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel import DATA_AXIS
+
+            def make_sharded(unroll_steps: int):
+                def shard_body(params, state, keys, raw_batch, neighbors_batch,
+                               noise_std):
+                    loss_sum, grads, new_state, new_keys, nbrs_b, overflow = (
+                        local_step(params, state, keys, raw_batch,
+                                   neighbors_batch, noise_std, unroll_steps)
+                    )
+                    loss_sum = jax.lax.psum(loss_sum, DATA_AXIS)
+                    grads = jax.lax.psum(grads, DATA_AXIS)
+                    if jax.tree.leaves(new_state):
+                        new_state = jax.lax.pmean(new_state, DATA_AXIS)
+                    overflow = jax.lax.psum(
+                        overflow.astype(jnp.int32), DATA_AXIS
+                    ) > 0
+                    return loss_sum, grads, new_state, new_keys, nbrs_b, overflow
+
+                batched = P(DATA_AXIS)
+                rep = P()
+                return shard_map(
+                    shard_body,
+                    mesh=mesh,
+                    in_specs=(rep, rep, batched, batched, batched, rep),
+                    out_specs=(rep, rep, rep, batched, batched, rep),
+                    check_vma=False,
+                )
+
+            def run_local(params, state, keys, raw_batch, neighbors_batch,
+                          noise_std, unroll_steps: int):
+                return make_sharded(unroll_steps)(
+                    params, state, keys, raw_batch, neighbors_batch, noise_std
+                )
+        else:
+            run_local = local_step
+
+        @partial(jax.jit, static_argnames=("unroll_steps",))
+        def train_step(
+            params, state, opt_state, keys, raw_batch, neighbors_batch,
+            noise_std, unroll_steps: int,
+        ):
+            loss_sum, grads, new_state, new_keys, nbrs_b, overflow = run_local(
+                params, state, keys, raw_batch, neighbors_batch, noise_std,
+                unroll_steps,
             )
-            (loss_b, state_b), grads_b = vg(
-                params, state, features_b, raw_batch[1], targets_b
-            )
-            # sum over batch (reference semantics); on a mesh this lowers to
-            # an ICI psum emitted from the sharding annotations
-            grads = jax.tree.map(lambda x: x.sum(axis=0), grads_b)
-            new_state = jax.tree.map(lambda x: x.mean(axis=0), state_b)
-            loss = loss_b.mean()
+            loss = loss_sum / batch_size
 
             updates, new_opt_state = opt_update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -297,7 +384,8 @@ class Trainer:
                 unroll_steps = push_forward_sample_steps(self.rng, step, pushforward)
                 profiler.maybe_start(step)
 
-                while True:
+                boost, max_retries = 1.0, 5
+                for attempt in range(max_retries + 1):
                     (
                         loss, params, state, opt_state, keys,
                         neighbors_batch, overflow,
@@ -307,11 +395,26 @@ class Trainer:
                     )
                     if not bool(overflow):
                         break
-                    # re-allocate from the first overflowing sample, retry
-                    print(f"Reallocate neighbors list at step {step}")
+                    if attempt == max_retries:
+                        raise RuntimeError(
+                            f"neighbor list still overflows after "
+                            f"{max_retries} escalating reallocations at "
+                            f"step {step}"
+                        )
+                    # re-allocate from the first overflowing sample with an
+                    # escalating capacity boost (sizing uses the un-noised
+                    # sample, so a retry without a boost could overflow on
+                    # the identical re-applied noise forever)
+                    boost *= 1.5
+                    print(
+                        f"Reallocate neighbors list at step {step} "
+                        f"(boost x{boost:.2f})"
+                    )
                     ind = int(jnp.argmax(neighbors_batch.did_buffer_overflow))
                     sample = broadcast_from_batch(raw_batch, index=ind)
-                    _, _, _, nbrs = self.case.allocate(keys[ind], sample, noise_std)
+                    _, _, _, nbrs = self.case.allocate(
+                        keys[ind], sample, noise_std, capacity_boost=boost
+                    )
                     print(f"From {neighbors_batch.idx[ind].shape} to {nbrs.idx.shape}")
                     neighbors_batch = shard_batch(
                         broadcast_to_batch(nbrs, self.batch_size), self.mesh

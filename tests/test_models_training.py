@@ -87,3 +87,83 @@ def test_two_training_steps(dataset_path, name, magnitudes, loss_weight):
     params, _, _ = trainer.train(step_max=2)
     for leaf in jax.tree.leaves(params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_flattened_loss_matches_per_sample_semantics(dataset_path):
+    """The super-graph training loss/grads must equal the per-sample
+    (vmapped) reference semantics: grads summed over the batch, each
+    sample's loss normalized by its own non-kinematic count."""
+    from functools import partial
+
+    from lagrangebench_tpu.ops.batching import flatten_graph_batch
+    from lagrangebench_tpu.train.trainer import flat_mse_loss, mse_loss
+    from lagrangebench_tpu.utils import get_kinematic_mask
+
+    data_train = H5Dataset("train", dataset_path, input_seq_length=ISL)
+    metadata = data_train.metadata
+    bounds = np.asarray(metadata["bounds"])
+    cfg_model = Config(
+        {
+            "name": "gns",
+            "input_seq_length": ISL,
+            "num_mp_steps": 1,
+            "num_mlp_layers": 2,
+            "latent_dim": 4,
+            "magnitude_features": False,
+            "isotropic_norm": False,
+        }
+    )
+    case = case_builder(
+        box=(bounds[:, 1] - bounds[:, 0]).tolist(),
+        metadata=metadata,
+        input_seq_length=ISL,
+        cfg_neighbors={"backend": "allpairs", "multiplier": 1.5},
+        cfg_model=cfg_model,
+        noise_std=0.0,
+        dtype=jnp.float64,
+    )
+    _, init, apply = setup_model(cfg_model, metadata)
+
+    batch = [data_train[i] for i in (0, 1)]
+    raw = tuple(
+        jnp.stack([jnp.asarray(b[i]) for b in batch]) for i in (0, 1)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    _, feats0, _, nbrs0 = case.allocate(keys[0], (raw[0][0], raw[1][0]))
+    from lagrangebench_tpu.utils import broadcast_to_batch
+
+    nbrs_b = broadcast_to_batch(nbrs0, 2)
+    pre = jax.vmap(case.preprocess, in_axes=(0, 0, None, 0, None))
+    _, feats_b, targets_b, nbrs_b = pre(keys, raw, 0.0, nbrs_b, 0)
+
+    params, state = init(jax.random.PRNGKey(1), (feats0, raw[1][0]))
+    lw = {"acc": 1.0, "vel": 0.0, "pos": 0.0}
+
+    # reference semantics: vmapped per-sample loss, grads summed
+    vg = jax.vmap(
+        jax.value_and_grad(
+            partial(mse_loss, model_apply=apply, loss_weight=lw), has_aux=True
+        ),
+        in_axes=(None, None, 0, 0, 0),
+    )
+    (loss_b, _), grads_b = vg(params, state, feats_b, raw[1], targets_b)
+    grads_ref = jax.tree.map(lambda x: x.sum(axis=0), grads_b)
+
+    # super-graph semantics
+    b, n = raw[1].shape
+    flat_f, flat_t = flatten_graph_batch(feats_b, raw[1])
+    flat_targets = {
+        k: v.reshape((b * n,) + v.shape[2:]) for k, v in targets_b.items()
+    }
+    non_kin = jnp.logical_not(get_kinematic_mask(raw[1]))
+    per_sample = non_kin.sum(axis=1).astype(flat_targets["acc"].dtype)
+    node_weight = (non_kin / jnp.maximum(per_sample, 1)[:, None]).reshape(b * n)
+    (loss_sum, _), grads_flat = jax.value_and_grad(
+        partial(flat_mse_loss, model_apply=apply, loss_weight=lw),
+        has_aux=True,
+    )(params, state, flat_f, flat_t, flat_targets, node_weight)
+
+    np.testing.assert_allclose(float(loss_sum), float(loss_b.sum()), rtol=1e-6)
+    # params are float32 -> summation-order noise at the 1e-7 level
+    for a, b_ in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_flat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-9)
