@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..checkpoint import load_checkpoint, save_checkpoint
+from ..checkpoint import OptStateLeaves, load_checkpoint, save_checkpoint
 from ..config import Config, merge
 from ..data import DataLoader, H5Dataset
 from ..defaults import defaults
@@ -353,6 +353,8 @@ class Trainer:
 
         if opt_state is None:
             opt_state = self.opt_init(params)
+        elif isinstance(opt_state, OptStateLeaves):
+            opt_state = opt_state.restore(self.opt_init(params))
 
         wandb_run = self._init_wandb(wandb_config, params, step)
 
