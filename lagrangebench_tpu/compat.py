@@ -1,0 +1,169 @@
+"""Reference (haiku) checkpoint import.
+
+The reference stores checkpoints via ``save_haiku`` (reference
+lagrangebench/utils.py:50-128): one ``{name}_array.npy`` file holding the
+concatenated ``np.save`` streams of all pytree leaves in tree order, plus a
+pickled skeleton tree (``{name}_tree.pkl``, every leaf replaced by 0) that
+fixes that order. Haiku parameter dicts are keyed by module path, e.g.
+``"gns/~/MLP_3/~/linear_0": {"w": ..., "b": ...}``.
+
+This module reads that layout and re-keys the arrays into this package's
+flax parameter trees, so published reference checkpoints
+(reference README.md:140-155) run through ``infer`` unchanged. The GNS
+mapping accounts for the one architectural delta: the flax GNS decomposes
+each edge-MLP first layer over ``concat([h_s, h_r, e])`` into three
+node/edge-level projections, so the haiku ``(3L, L)`` weight splits into
+three ``(L, L)`` blocks (same math — see models/gns.py).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def load_haiku_pytree(model_dir: str, name: str):
+    """Load one ``save_haiku``-layout pytree (reference utils.py:100-110)."""
+    with open(os.path.join(model_dir, f"{name}_tree.pkl"), "rb") as f:
+        skeleton = pickle.load(f)
+    # old haiku versions pickle FlatMapping; normalize to nested plain dicts
+    skeleton = jax.tree.map(lambda x: 0, _to_plain_dict(skeleton))
+    leaves, treedef = jax.tree.flatten(skeleton)
+    with open(os.path.join(model_dir, f"{name}_array.npy"), "rb") as f:
+        arrays = [np.load(f, allow_pickle=False) for _ in leaves]
+    return jax.tree.unflatten(treedef, arrays)
+
+
+def _to_plain_dict(obj):
+    if hasattr(obj, "items"):
+        return {k: _to_plain_dict(v) for k, v in obj.items()}
+    return obj
+
+
+def is_haiku_checkpoint(model_dir: str) -> bool:
+    return os.path.exists(os.path.join(model_dir, "params_array.npy"))
+
+
+# ---------------------------------------------------------------------------
+# GNS
+# ---------------------------------------------------------------------------
+
+def _mlp_from_haiku(hk_params: Dict, prefix: str, mlp_name: str,
+                    ln_name=None) -> Dict:
+    """One haiku `build_mlp` -> flax `MLP` params (Dense_i + LayerNorm_0)."""
+    out = {}
+    i = 0
+    while f"{prefix}/{mlp_name}/~/linear_{i}" in hk_params:
+        lin = hk_params[f"{prefix}/{mlp_name}/~/linear_{i}"]
+        out[f"Dense_{i}"] = {"kernel": np.asarray(lin["w"]),
+                             "bias": np.asarray(lin["b"])}
+        i += 1
+    assert i > 0, f"no linear layers under {prefix}/{mlp_name}"
+    if ln_name is not None:
+        ln = hk_params[f"{prefix}/{ln_name}"]
+        out["LayerNorm_0"] = {"scale": np.asarray(ln["scale"]),
+                              "bias": np.asarray(ln["offset"])}
+    return out
+
+
+def haiku_gns_to_flax(hk_params: Dict, num_mp_steps: int) -> Dict:
+    """Re-key a haiku GNS parameter dict into the flax GNS layout.
+
+    Haiku scopes parameters by the *method* that created the module
+    (reference models/gns.py:64-208 with `build_mlp`,
+    models/utils.py:100-115): ``gns/~/embed`` (init),
+    ``gns/~_encoder/MLP[_1]`` + layer_norms (node then edge encoder),
+    ``gns/~_processor/MLP_{2i}`` (edge update) and ``MLP_{2i+1}`` (node
+    update) per MP step, and ``gns/~_decoder/MLP`` (no LayerNorm).
+    Verified against a genuine haiku replica in tests/test_compat.py.
+    """
+    g = "gns"
+    enc, proc, dec = f"{g}/~_encoder", f"{g}/~_processor", f"{g}/~_decoder"
+    out: Dict = {
+        "Embed_0": {
+            "embedding": np.asarray(hk_params[f"{g}/~/embed"]["embeddings"])
+        },
+        "MLP_0": _mlp_from_haiku(hk_params, enc, "MLP", "layer_norm"),
+        "MLP_1": _mlp_from_haiku(hk_params, enc, "MLP_1", "layer_norm_1"),
+    }
+    latent = out["MLP_0"]["Dense_1"]["kernel"].shape[1]
+
+    for i in range(num_mp_steps):
+        mlp_id = 2 + 2 * i
+        sfx = "" if 2 * i == 0 else f"_{2 * i}"
+        edge = _mlp_from_haiku(
+            hk_params, proc, f"MLP{sfx}", f"layer_norm{sfx}"
+        )
+        # first layer acts on concat([h_s, h_r, e], -1): split the (3L, L)
+        # weight into the three decomposed projections (bias goes with e)
+        w0, b0 = edge["Dense_0"]["kernel"], edge["Dense_0"]["bias"]
+        assert w0.shape[0] == 3 * latent, (
+            f"edge MLP_{mlp_id} first layer is {w0.shape}, expected "
+            f"({3 * latent}, {latent})"
+        )
+        out[f"Dense_{3 * i}"] = {"kernel": w0[:latent]}
+        out[f"Dense_{3 * i + 1}"] = {"kernel": w0[latent:2 * latent]}
+        out[f"Dense_{3 * i + 2}"] = {"kernel": w0[2 * latent:], "bias": b0}
+        # remaining layers form the flax message MLP (Dense_j <- linear_{j+1})
+        n_lin = len([k for k in edge if k.startswith("Dense")])
+        msg = {
+            f"Dense_{j - 1}": edge[f"Dense_{j}"] for j in range(1, n_lin)
+        }
+        msg["LayerNorm_0"] = edge["LayerNorm_0"]
+        out[f"MLP_{mlp_id}"] = msg
+
+        out[f"MLP_{3 + 2 * i}"] = _mlp_from_haiku(
+            hk_params, proc, f"MLP_{2 * i + 1}", f"layer_norm_{2 * i + 1}"
+        )
+
+    out[f"MLP_{2 + 2 * num_mp_steps}"] = _mlp_from_haiku(hk_params, dec, "MLP")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Linear baseline
+# ---------------------------------------------------------------------------
+
+def haiku_linear_to_flax(hk_params: Dict) -> Dict:
+    """Reference `Linear` is a single hk.Linear named under "linear_model"
+    (reference models/linear.py)."""
+    key = next(k for k in hk_params if "linear" in k)
+    lin = hk_params[key]
+    return {
+        "Dense_0": {"kernel": np.asarray(lin["w"]),
+                    "bias": np.asarray(lin["b"])}
+    }
+
+
+_IMPORTERS = {
+    "gns": lambda hk, cfg: haiku_gns_to_flax(hk, int(cfg["num_mp_steps"])),
+    "linear": lambda hk, cfg: haiku_linear_to_flax(hk),
+}
+
+
+def load_reference_checkpoint(
+    model_dir: str, model_name: str, cfg_model: Dict
+) -> Tuple[Dict, Dict, int]:
+    """Load a reference `save_haiku` checkpoint as (params, state, step)."""
+    import json
+
+    model_name = model_name.lower()
+    if model_name not in _IMPORTERS:
+        raise NotImplementedError(
+            f"haiku checkpoint import not implemented for '{model_name}' "
+            f"(available: {sorted(_IMPORTERS)})"
+        )
+    hk_params = load_haiku_pytree(model_dir, "params")
+    params = _IMPORTERS[model_name](hk_params, cfg_model)
+    # reference models keep no haiku state (stateless apply)
+    step = 0
+    meta_path = os.path.join(model_dir, "metadata_ckp.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            step = json.load(f).get("step", 0)
+    print(f"Imported reference haiku checkpoint from {model_dir} (step {step})")
+    return params, {}, step

@@ -35,7 +35,9 @@ class MLP(nn.Module):
             if i < len(widths) - 1:
                 x = self.activation(x)
         if self.is_layer_norm:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            # epsilon matches haiku's LayerNorm default (the reference's
+            # build_mlp), so imported reference checkpoints reproduce exactly
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return x
 
 

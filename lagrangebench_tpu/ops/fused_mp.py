@@ -36,7 +36,7 @@ PARAM_NAMES = (
 )
 
 
-def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps=1e-6):
+def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps=1e-5):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
     y = (x - mean) * jax.lax.rsqrt(var + eps)

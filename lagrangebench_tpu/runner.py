@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from .case import case_builder
 from .checkpoint import load_checkpoint
+from .compat import is_haiku_checkpoint, load_reference_checkpoint
 from .config import Config, save_yaml
 from .data import H5Dataset
 from .defaults import check_cfg
@@ -137,7 +138,13 @@ def train_or_infer(cfg: Config):
             load_dir = best_dir if osp.exists(
                 osp.join(best_dir, "metadata_ckp.json")
             ) else old_model_dir
-            params, state, _, _ = load_checkpoint(load_dir)
+            if is_haiku_checkpoint(load_dir):
+                # published reference checkpoint (save_haiku layout)
+                params, state, _ = load_reference_checkpoint(
+                    load_dir, cfg.model.name, cfg.model
+                )
+            else:
+                params, state, _, _ = load_checkpoint(load_dir)
 
         rollout_dir = cfg.eval.rollout_dir
         eval_metrics = infer(
