@@ -27,21 +27,28 @@ from .metrics import MetricsComputer, MetricsDict
 from .utils import write_vtk
 
 
-def _build_rollout_fn(model_apply: Callable, case, t_window: int) -> Callable:
+def _build_rollout_fn(
+    model_apply: Callable, case, t_window: int, mesh=None
+) -> Callable:
     """Compile-once scan rollout over a trajectory batch.
 
     Returns fn(params, state, pos_input_batch, particle_type_batch,
     neighbors_batch, targets_tm) -> (predictions, overflow, neighbors).
     ``targets_tm`` is time-major (T, B, N, dim).
+
+    With a ``mesh``, the trajectory batch shards over the ``data`` axis via
+    shard_map (BASELINE config: batched rollouts over ICI): each device
+    rolls out its local sub-batch on its own flattened super-graph, so no
+    collectives run inside the scan — only the overflow flag reduces at the
+    end. Batches not divisible by the mesh fall back to the local path.
     """
     from ..ops.batching import flatten_graph_batch, unflatten_nodes
 
     preprocess_eval_vmap = jax.vmap(case.preprocess_eval, in_axes=(0, 0))
     integrate_vmap = jax.vmap(case.integrate, in_axes=(0, 0))
 
-    @jax.jit
-    def rollout_fn(params, state, current_batch, particle_type_batch,
-                   neighbors_batch, targets_tm):
+    def rollout_core(params, state, current_batch, particle_type_batch,
+                     neighbors_batch, targets_tm):
         kinematic = get_kinematic_mask(particle_type_batch)  # (B, N)
         b, n = particle_type_batch.shape
 
@@ -78,7 +85,42 @@ def _build_rollout_fn(model_apply: Callable, case, t_window: int) -> Callable:
         # (T, B, N, dim) -> (B, T, N, dim)
         return jnp.transpose(preds_tm, (1, 0, 2, 3)), overflow, nbrs
 
-    return rollout_fn
+    import numpy as np
+
+    n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    local_fn = jax.jit(rollout_core)
+    if n_dev == 1:
+        return local_fn
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import DATA_AXIS
+
+    def shard_body(params, state, current, ptype, nbrs, targets_tm):
+        preds, overflow, nbrs = rollout_core(
+            params, state, current, ptype, nbrs, targets_tm
+        )
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), DATA_AXIS) > 0
+        return preds, overflow, nbrs
+
+    batched, rep = P(DATA_AXIS), P()
+    sharded_fn = jax.jit(
+        shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(rep, rep, batched, batched, batched, P(None, DATA_AXIS)),
+            out_specs=(batched, rep, batched),
+            check_vma=False,
+        )
+    )
+
+    def dispatch(params, state, current, ptype, nbrs, targets_tm):
+        if current.shape[0] % n_dev == 0:
+            return sharded_fn(params, state, current, ptype, nbrs, targets_tm)
+        return local_fn(params, state, current, ptype, nbrs, targets_tm)
+
+    return dispatch
 
 
 def _eval_batched_rollout(
@@ -149,12 +191,14 @@ def eval_rollout(
     rollout_dir: Optional[str] = None,
     out_type: str = "none",
     n_extrap_steps: int = 0,
+    mesh=None,
 ) -> Dict[str, MetricsDict]:
     """Evaluate rollouts over a loader; returns metrics per trajectory.
 
     Mirrors the reference's eval_rollout contract (reference
     lagrangebench/evaluate/rollout.py:181-308) including pkl/vtk artifact
-    output and the timestamped metrics pickle.
+    output and the timestamped metrics pickle. With ``mesh``, trajectory
+    batches shard over ICI (metrics stay per-trajectory).
     """
     batch_size = loader_eval.batch_size
     t_window = loader_eval.dataset.input_seq_length
@@ -163,7 +207,7 @@ def eval_rollout(
     if rollout_dir is not None:
         os.makedirs(rollout_dir, exist_ok=True)
 
-    rollout_fn = _build_rollout_fn(model_apply, case, t_window)
+    rollout_fn = _build_rollout_fn(model_apply, case, t_window, mesh=mesh)
     metrics_computer_vmap = jax.vmap(metrics_computer, in_axes=(0, 0))
 
     for i, traj_batch in enumerate(loader_eval):
@@ -242,11 +286,14 @@ def infer(
     rollout_dir: Optional[str] = None,
     n_rollout_steps: int = defaults.eval.n_rollout_steps,
     seed: int = defaults.seed,
+    mesh=None,
 ):
     """Run inference over a test dataset and compute metrics.
 
     Accepts either an apply function with signature
     ``(params, state, sample) -> (out, state)`` or a flax model instance.
+    With ``mesh``, rollout batches shard over the device mesh (set
+    ``eval.infer.batch_size`` to a multiple of the mesh size).
     """
     from ..checkpoint import load_checkpoint
     from ..models import make_model_fns
@@ -300,4 +347,5 @@ def infer(
         rollout_dir=rollout_dir,
         out_type=cfg.out_type,
         n_extrap_steps=cfg.n_extrap_steps,
+        mesh=mesh,
     )

@@ -157,6 +157,7 @@ def train_or_infer(cfg: Config):
             rollout_dir=rollout_dir,
             n_rollout_steps=cfg.eval.n_rollout_steps,
             seed=cfg.seed,
+            mesh=mesh,
         )
         metrics = averaged_metrics(eval_metrics)
         print(metrics)

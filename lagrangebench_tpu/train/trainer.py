@@ -187,6 +187,7 @@ class Trainer:
         )
 
         self._train_step = self._build_train_step()
+        self._eval_neighbors = None
 
     # ------------------------------------------------------------------
 
@@ -441,7 +442,19 @@ class Trainer:
 
                 if step % cfg_logging.eval_steps == 0 and step > 0:
                     timer.reset_clock()  # eval pause should not skew stats
-                    nbrs = broadcast_from_batch(neighbors_batch, index=0)
+                    # eval capacity is sized from a VALIDATION sample (a
+                    # train-sized buffer can be systematically too small for
+                    # denser validation trajectories and would thrash the
+                    # escalation-retry loop mid-training)
+                    if self._eval_neighbors is None:
+                        pos_v, ptype_v = self.data_valid[0]
+                        _, self._eval_neighbors = self.case.allocate_eval(
+                            (
+                                jnp.asarray(pos_v)[:, : self.input_seq_length],
+                                jnp.asarray(ptype_v),
+                            )
+                        )
+                    nbrs = self._eval_neighbors
                     eval_metrics = eval_rollout(
                         case=self.case,
                         metrics_computer=self.metrics_computer,
@@ -454,6 +467,7 @@ class Trainer:
                         n_trajs=int(cfg_eval.train.n_trajs),
                         rollout_dir=cfg_eval.rollout_dir,
                         out_type=cfg_eval.train.out_type,
+                        mesh=self.mesh,
                     )
                     metrics = averaged_metrics(eval_metrics)
                     if store_ckp is not None:

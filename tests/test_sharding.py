@@ -85,3 +85,77 @@ def test_data_parallel_training_step(tmp_path):
         assert np.isfinite(a).all()
         # same data order (same seed) -> numerically close results
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_mesh_batched_rollout_matches_single_device(tmp_path):
+    """ICI-batched eval rollouts: sharded metrics == single-device metrics."""
+    from lagrangebench_tpu.case import case_builder
+    from lagrangebench_tpu.config import Config
+    from lagrangebench_tpu.data import DataLoader, H5Dataset
+    from lagrangebench_tpu.evaluate import MetricsComputer, eval_rollout
+    from lagrangebench_tpu.models import setup_model
+
+    path = make_dataset(str(tmp_path), n_trajs=8)
+    isl = 3
+    data_valid = H5Dataset("valid", path, input_seq_length=isl, extra_seq_length=5)
+    metadata = data_valid.metadata
+    bounds = np.asarray(metadata["bounds"])
+    case = case_builder(
+        box=(bounds[:, 1] - bounds[:, 0]).tolist(),
+        metadata=metadata,
+        input_seq_length=isl,
+        cfg_neighbors={"backend": "allpairs", "multiplier": 1.5},
+        noise_std=1e-4,
+        dtype=jnp.float32,
+    )
+    _, init, apply = setup_model(
+        Config(
+            {
+                "name": "gns",
+                "input_seq_length": isl,
+                "num_mp_steps": 1,
+                "num_mlp_layers": 2,
+                "latent_dim": 4,
+                "magnitude_features": False,
+                "isotropic_norm": False,
+            }
+        ),
+        metadata,
+    )
+    pos0, ptype0 = data_valid[0]
+    feats, neighbors = case.allocate_eval(
+        (jnp.asarray(pos0)[:, :isl], jnp.asarray(ptype0))
+    )
+    params, state = init(jax.random.PRNGKey(0), (feats, jnp.asarray(ptype0)))
+
+    metrics_computer = MetricsComputer(
+        ["mse"], dist_fn=case.displacement, metadata=metadata,
+        input_seq_length=isl,
+    )
+
+    def run(mesh):
+        rng = np.random.default_rng(0)
+        loader = DataLoader(data_valid, batch_size=8, rng=rng)
+        return eval_rollout(
+            model_apply=apply,
+            case=case,
+            metrics_computer=metrics_computer,
+            params=params,
+            state=state,
+            neighbors=neighbors,
+            loader_eval=loader,
+            n_rollout_steps=4,
+            n_trajs=8,
+            mesh=mesh,
+        )
+
+    m_mesh = run(make_mesh(8))
+    m_single = run(None)
+    assert set(m_mesh) == set(m_single) and len(m_mesh) == 8
+    for k in m_mesh:
+        for name in m_mesh[k]:
+            np.testing.assert_allclose(
+                np.asarray(m_mesh[k][name]),
+                np.asarray(m_single[k][name]),
+                rtol=1e-5, atol=1e-7,
+            )
