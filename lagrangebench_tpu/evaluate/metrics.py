@@ -69,11 +69,14 @@ def _sinkhorn_potentials(
     return f, g
 
 
-def _reg_ot_cost(x_cost: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, epsilon):
+def _reg_ot_cost(
+    x_cost: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, epsilon,
+    threshold: float = 1e-4,
+):
     """Entropy-regularized OT cost via the dual objective <f,a> + <g,b>."""
     log_a = jnp.log(a)
     log_b = jnp.log(b)
-    f, g = _sinkhorn_potentials(x_cost, log_a, log_b, epsilon)
+    f, g = _sinkhorn_potentials(x_cost, log_a, log_b, epsilon, threshold)
     return jnp.sum(f * a) + jnp.sum(g * b)
 
 
@@ -99,6 +102,8 @@ class MetricsComputer:
         input_seq_length: int = 6,
         stride: int = 10,
         loss_ranges: Optional[List[int]] = None,
+        sinkhorn_epsilon: Optional[float] = None,
+        sinkhorn_threshold: float = 1e-4,
     ):
         if active_metrics is None:
             active_metrics = []
@@ -111,6 +116,12 @@ class MetricsComputer:
         self._input_seq_length = input_seq_length
         self._stride = stride
         self._metadata = metadata
+        # None -> ott-jax 0.4.x default: 5% of the mean of the XY cost
+        # matrix, shared by the debiasing XX/YY problems (share_epsilon);
+        # threshold matches the reference's sinkhorn_kwargs
+        # (reference lagrangebench/evaluate/metrics.py:162-176)
+        self._sinkhorn_epsilon = sinkhorn_epsilon
+        self._sinkhorn_threshold = sinkhorn_threshold
 
     # -- per-frame helpers -------------------------------------------------
 
@@ -126,13 +137,18 @@ class MetricsComputer:
         cost_xy = self._cost_matrix(pred, target)
         cost_xx = self._cost_matrix(pred, pred)
         cost_yy = self._cost_matrix(target, target)
-        # OTT-style default: epsilon relative to the cost scale
-        epsilon = 0.05 * jnp.mean(cost_xy)
+        if self._sinkhorn_epsilon is None:
+            # ott-jax default: 5% of the mean XY cost, shared across the
+            # debiasing problems (share_epsilon=True)
+            epsilon = 0.05 * jnp.mean(cost_xy)
+        else:
+            epsilon = jnp.asarray(self._sinkhorn_epsilon, cost_xy.dtype)
         a = jnp.full((pred.shape[0],), 1.0 / pred.shape[0], pred.dtype)
         b = jnp.full((target.shape[0],), 1.0 / target.shape[0], target.dtype)
-        ot_xy = _reg_ot_cost(cost_xy, a, b, epsilon)
-        ot_xx = _reg_ot_cost(cost_xx, a, a, epsilon)
-        ot_yy = _reg_ot_cost(cost_yy, b, b, epsilon)
+        thr = self._sinkhorn_threshold
+        ot_xy = _reg_ot_cost(cost_xy, a, b, epsilon, thr)
+        ot_xx = _reg_ot_cost(cost_xx, a, a, epsilon, thr)
+        ot_yy = _reg_ot_cost(cost_yy, b, b, epsilon, thr)
         return ot_xy - 0.5 * (ot_xx + ot_yy)
 
     def e_kin(self, frame_vel: jnp.ndarray) -> jnp.ndarray:

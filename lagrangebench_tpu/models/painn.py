@@ -114,17 +114,50 @@ class PaiNNLayer(nn.Module):
         receivers: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n = s.shape[0]
+        h = self.hidden_size
 
-        # -- message (inter-particle); gathers from receivers, scatters to
-        # senders — the reference's convention (painn.py:272-309)
         x = self._context_net(s, "interaction")  # (N, 3H)
-        ds, dv1, dv2 = jnp.split(Wij * x[receivers], 3, axis=-1)
-        dv = (
-            dir_ij[..., :, None] * dv1[..., None, :]
-            + v[receivers] * dv2[..., None, :]
-        )  # (..., dim, H)
-        ds = segment_sum(ds, senders, num_segments=n, indices_are_sorted=False)
-        dv = segment_sum(dv, senders, num_segments=n, indices_are_sorted=False)
+
+        if senders.ndim == 2:
+            # -- dense (N, K) fast path. The radius graph is symmetric, so
+            # the reference's gather-from-receivers / scatter-to-senders
+            # (painn.py:272-309) is algebraically a gather-from-senders with
+            # a masked in-row sum (the scatter-free GNS aggregation pattern)
+            # once the stored edge direction is negated and W(i,j) = W(j,i)
+            # (filters depend only on |r_ij|). The (.., dim, H) message
+            # tensor is decomposed per spatial axis: (N, K, dim, H) blocks
+            # pad dim -> 8 sublanes on TPU and waste ~2.7x HBM.
+            vdim = v.shape[1]
+            # ONE wide gather per layer: gathers are row-count-bound on TPU
+            # (width nearly free), so pack x and all vector axes together
+            packed = jnp.concatenate([x, v.reshape(n, vdim * h)], axis=-1)
+            g = packed[senders]  # (N, K, 3H + dim*H); padded rows masked below
+            xg = g[..., : 3 * h]
+            msg = Wij * xg
+            ds_e = msg[..., :h]
+            dv1_e = msg[..., h : 2 * h]
+            dv2_e = msg[..., 2 * h :]
+            mask = (senders < n)[..., None].astype(msg.dtype)
+            ds = jnp.sum(ds_e * mask, axis=1)
+            dv_axes = []
+            for d in range(vdim):
+                vg_d = g[..., (3 + d) * h : (4 + d) * h]  # (N, K, H)
+                # stored dir points sender -> receiver; the flipped form
+                # needs receiver -> sender, hence the minus
+                dv_d = (-dir_ij[..., d : d + 1]) * dv1_e + vg_d * dv2_e
+                dv_axes.append(jnp.sum(dv_d * mask, axis=1))
+            dv = jnp.stack(dv_axes, axis=1)  # (N, dim, H)
+        else:
+            # -- sparse reference path: gathers from receivers, scatters to
+            # senders (reference painn.py:272-309)
+            ds, dv1, dv2 = jnp.split(Wij * x[receivers], 3, axis=-1)
+            dv = (
+                dir_ij[..., :, None] * dv1[..., None, :]
+                + v[receivers] * dv2[..., None, :]
+            )  # (..., dim, H)
+            ds = segment_sum(ds, senders, num_segments=n, indices_are_sorted=False)
+            dv = segment_sum(dv, senders, num_segments=n, indices_are_sorted=False)
+
         s = s + jnp.clip(ds, -1e2, 1e2)
         v = v + jnp.clip(dv, -1e2, 1e2)
 

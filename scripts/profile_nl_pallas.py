@@ -77,79 +77,13 @@ def main():
         disp_fn, cutoff, grid, k_cap, cell_cap, box=[box] * dim
     )
     timeit("edges_full", lambda s: edges_fn(position + s, n)[0])
+    # correctness vs celllist backend
+    s_new, ovf = edges_fn(position, n)
+    s_ref = nb._celllist_dense(position, n, disp_fn, cutoff, 24, grid, cell_cap)[0]
+    match = bool(jnp.all(jnp.sort(s_new, axis=1) == jnp.sort(s_ref, axis=1)))
+    print("matches celllist:", match, "overflow:", bool(ovf), flush=True)
 
-    # isolate the scan kernel: fixed extended tables, no binning
-    ext_idx, ext_pos = nbp._extend_table(ti, tp, [box] * dim, grid.pbc, n)
-    ncx, ncy, ncz = cps
-    run = (ncz + 2) * cell_cap
-    n_cols = (ncx + 2) * (ncy + 2)
-    ext_idx_f = ext_idx.reshape(n_cols, run)
-    ext_pos_f = ext_pos.reshape(n_cols, run, dim)
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    off_flat = np.asarray([dx * (ncy + 2) + dy for dx, dy in offs], np.int32)
-    base = np.asarray(
-        [(ix + 1) * (ncy + 2) + (iy + 1) for ix in range(ncx) for iy in range(ncy)],
-        np.int32,
-    )
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    kernel = partial(
-        nbp._scan_kernel, cutoff2=cutoff * cutoff, n_particles=n, k_cap=k_cap
-    )
-    n_tiles = ncx * ncy
-
-    def run_scan(s):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n_tiles, len(off_flat)),
-            in_specs=[
-                pl.BlockSpec((1, run, dim), lambda i, st, b, o: (b[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, dim, run), lambda i, st, b, o: (b[i] + o[st], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, run), lambda i, st, b, o: (b[i] + o[st], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, run, k_cap), lambda i, st, b, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1), lambda i, st, b, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((run, k_cap), jnp.float32),
-                pltpu.VMEM((run, 1), jnp.int32),
-            ],
-        )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((n_tiles, run, k_cap), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
-            ],
-        )(
-            jnp.asarray(base),
-            jnp.asarray(off_flat),
-            ext_pos_f.astype(jnp.float32) + s,
-            jnp.transpose(ext_pos_f.astype(jnp.float32) + s, (0, 2, 1)),
-            ext_idx_f.reshape(n_cols, 1, run),
-        )
-
-    timeit("scan_kernel_alone", lambda s: run_scan(s)[0])
-
-    slot_senders = run_scan(jnp.float32(0.0))[0]
-
-    def scatter_back(s):
-        rows = slot_senders.reshape(ncx * ncy, ncz + 2, cell_cap, k_cap)
-        rows = (rows + (s > 1e10)).astype(jnp.int32)
-        rows = rows[:, 1 : 1 + ncz].reshape(-1, k_cap)
-        slots = ti.reshape(-1)
-        senders = jnp.full((n, k_cap), n, dtype=jnp.int32)
-        return senders.at[slots].set(rows, mode="drop")
-
-    timeit("senders_scatter_back", scatter_back)
 
 
 if __name__ == "__main__":

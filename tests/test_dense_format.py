@@ -215,3 +215,65 @@ def test_batched_rollout_equals_individual(periodic_case_pair, fmt):
             batched[i], single[0], atol=1e-5,
             err_msg=f"trajectory {i} differs between batched and single",
         )
+
+
+def test_painn_output_agrees_across_formats():
+    """The dense PaiNN message pass (gather + masked in-row sum on the
+    symmetric NL, negated direction) must equal the sparse reference
+    semantics (gather-from-receivers / scatter-to-senders)."""
+    from lagrangebench_tpu.models import PaiNN
+
+    metadata = {
+        "num_particles_max": 32,
+        "periodic_boundary_conditions": [True] * 3,
+        "default_connectivity_radius": 0.4,
+        "bounds": [[0.0, 1.5]] * 3,
+        "acc_mean": [0.0] * 3,
+        "acc_std": [1.0] * 3,
+        "vel_mean": [0.0] * 3,
+        "vel_std": [1.0] * 3,
+        "dim": 3,
+    }
+    cases = {}
+    for fmt in ("sparse", "dense"):
+        cases[fmt] = case_builder(
+            box=[1.5] * 3,
+            metadata=metadata,
+            input_seq_length=3,
+            cfg_neighbors={
+                "backend": "celllist", "multiplier": 1.5, "format": fmt,
+            },
+            cfg_model={"magnitude_features": True},
+            noise_std=0.0,
+            dtype=jnp.float64,
+        )
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0, 1.5, size=(32, 1, 3))
+    vel = rng.normal(0, 0.01, size=(32, 1, 3))
+    pos = np.mod(base + vel * np.arange(4)[None, :, None], 1.5)
+    ptype = np.zeros(32, dtype=np.int64)
+
+    model = PaiNN(
+        hidden_size=16, output_size=1, num_mp_steps=2, n_rbf=8,
+        radius=0.4 * 1.5, n_vels=2,
+    )
+    init, apply = make_model_fns(model)
+
+    def to_f64(x):
+        x = np.asarray(x)
+        if x.dtype.kind == "f":
+            return jnp.asarray(x, jnp.float64)
+        return jnp.asarray(x)
+
+    feats = {}
+    for fmt in ("sparse", "dense"):
+        f, _ = cases[fmt].allocate_eval((pos[:, :3], ptype))
+        feats[fmt] = jax.tree.map(to_f64, f)
+
+    params, state = init(jax.random.PRNGKey(0), (feats["sparse"], ptype))
+    out_sparse, _ = apply(params, state, (feats["sparse"], jnp.asarray(ptype)))
+    out_dense, _ = apply(params, state, (feats["dense"], jnp.asarray(ptype)))
+    np.testing.assert_allclose(
+        np.asarray(out_sparse["acc"]), np.asarray(out_dense["acc"]),
+        rtol=1e-8, atol=1e-10,
+    )

@@ -93,3 +93,57 @@ def test_averaged_metrics():
     avg = averaged_metrics(metrics)
     assert avg["val/loss"] == 3.0
     assert avg["val/stdloss"] == 1.0
+
+
+def test_sinkhorn_matches_independent_float64_reference():
+    """Pin the on-device Sinkhorn to an independent NumPy float64
+    implementation of the reference's ott-jax semantics (debiased
+    divergence, epsilon = 0.05 * mean XY cost shared across the three
+    problems, uniform weights — reference evaluate/metrics.py:162-176)."""
+    import numpy as np
+
+    def np_reg_ot(cost, a, b, eps, iters=20000, tol=1e-12):
+        # textbook log-domain Sinkhorn, run to tight convergence
+        log_a, log_b = np.log(a), np.log(b)
+        f = np.zeros(cost.shape[0])
+        g = np.zeros(cost.shape[1])
+        for _ in range(iters):
+            f_new = -eps * logsumexp((g[None, :] - cost) / eps + log_b[None, :], axis=1)
+            g_new = -eps * logsumexp((f_new[:, None] - cost) / eps + log_a[:, None], axis=0)
+            if max(np.max(np.abs(f_new - f)), np.max(np.abs(g_new - g))) < tol:
+                f, g = f_new, g_new
+                break
+            f, g = f_new, g_new
+        return float(np.sum(f * a) + np.sum(g * b))
+
+    def logsumexp(x, axis):
+        m = np.max(x, axis=axis, keepdims=True)
+        return np.squeeze(m, axis) + np.log(np.sum(np.exp(x - m), axis=axis))
+
+    def np_divergence(x, y):
+        cxy = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+        cxx = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        cyy = ((y[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+        eps = 0.05 * cxy.mean()
+        a = np.full(x.shape[0], 1.0 / x.shape[0])
+        b = np.full(y.shape[0], 1.0 / y.shape[0])
+        return (
+            np_reg_ot(cxy, a, b, eps)
+            - 0.5 * (np_reg_ot(cxx, a, a, eps) + np_reg_ot(cyy, b, b, eps))
+        )
+
+    rng = np.random.default_rng(42)
+    disp = lambda a, b: a - b  # free space
+    computer = MetricsComputer(
+        ["sinkhorn"], disp, METADATA, input_seq_length=2, stride=1,
+        sinkhorn_threshold=1e-6,
+    )
+
+    for scale, shift in ((1.0, 0.0), (0.3, 0.1), (1.0, 0.5)):
+        x = rng.normal(size=(40, 2))
+        y = scale * rng.normal(size=(40, 2)) + shift
+        got = float(
+            computer.sinkhorn(jnp.asarray(x, jnp.float64), jnp.asarray(y, jnp.float64))
+        )
+        want = np_divergence(x, y)
+        assert abs(got - want) <= max(1e-3 * abs(want), 1e-7), (got, want)
