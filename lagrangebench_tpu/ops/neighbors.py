@@ -471,7 +471,6 @@ def neighbor_list(
             neighbors_pallas.make_edges_fn,
             displacement_fn=displacement_fn,
             cutoff=cutoff,
-            grid=grid,
             box=[float(b) for b in box],
         )
     else:
@@ -493,18 +492,67 @@ def neighbor_list(
         npart = n if num_particles is None else int(num_particles)
         pos_valid = pos[:npart]
 
+        col_grid = None
         if grid is not None:
             size = np.asarray(grid.cell_size)
             cps = np.asarray(grid.cells_per_side)
             coords = np.clip(
                 np.floor(pos_valid / size).astype(np.int64), 0, cps - 1
             )
-            cid = coords[:, 0]
-            for d in range(1, len(grid.cells_per_side)):
-                cid = cid * grid.cells_per_side[d] + coords[:, d]
-            occ = np.bincount(cid, minlength=grid.num_cells)
-            max_occ = int(occ.max()) if occ.size else 1
-            cell_cap = max(_round_up(max_occ * capacity_multiplier, 4), 4)
+            if backend == "pallas":
+                # the pallas kernel bins by COLUMN (first dim-1 cell axes;
+                # the last axis is handled by in-kernel min-image), so its
+                # capacity is the max column occupancy. Column cell size is
+                # a free parameter (anything >= cutoff): search a few
+                # coarsenings and keep the one minimizing the kernel's pack
+                # work, n_cols * cap^2 — coarser cells smooth out max-vs-
+                # mean occupancy lumps at the cost of more false candidates
+                best = None
+                base_nc = [
+                    max(int(math.floor(float(b) / cutoff)), 1)
+                    for b in box[:-1]
+                ]
+                for f in (1.0, 0.75, 0.6, 0.5, 0.4, 0.33):
+                    ncs = [max(int(round(nc * f)), 1) for nc in base_nc]
+                    if any(
+                        nc < 3 and p for nc, p in zip(ncs, pbc[:-1])
+                    ) or any(nc < 1 for nc in ncs):
+                        continue
+                    sizes = [float(b) / nc for b, nc in zip(box[:-1], ncs)]
+                    if any(s < cutoff for s in sizes):
+                        continue
+                    cid = np.zeros(len(pos_valid), dtype=np.int64)
+                    n_bins = 1
+                    for d, (nc, s) in enumerate(zip(ncs, sizes)):
+                        c = np.clip(
+                            np.floor(pos_valid[:, d] / s).astype(np.int64),
+                            0, nc - 1,
+                        )
+                        cid = cid * nc + c
+                        n_bins *= nc
+                    occ = np.bincount(cid, minlength=n_bins)
+                    max_occ = int(occ.max()) if occ.size else 1
+                    cap = max(_round_up(max_occ * capacity_multiplier, 8), 8)
+                    cost = n_bins * cap * cap
+                    if best is None or cost < best[0]:
+                        best = (cost, ncs, cap)
+                assert best is not None, "no admissible pallas column grid"
+                _, ncs, cell_cap = best
+                col_sizes = [float(b) / nc for b, nc in zip(box[:-1], ncs)]
+                col_grid = _Grid(
+                    cells_per_side=tuple(ncs) + (1,),
+                    cell_size=tuple(col_sizes) + (float(box[-1]),),
+                    num_cells=int(np.prod(ncs)),
+                    offsets=grid.offsets,
+                    pbc=grid.pbc,
+                )
+            else:
+                cid = coords[:, 0]
+                for d in range(1, len(grid.cells_per_side)):
+                    cid = cid * grid.cells_per_side[d] + coords[:, d]
+                occ = np.bincount(cid, minlength=grid.num_cells)
+                max_occ = int(occ.max()) if occ.size else 1
+                cell_cap = max(_round_up(max_occ * capacity_multiplier, 4), 4)
         else:
             cell_cap = 0
 
@@ -538,14 +586,16 @@ def neighbor_list(
         e_cap = max(_round_up(max(count, 1) * capacity_multiplier, 128), 128)
         if format == "dense":
             k_cap = max(_round_up(max(max_k, 1) * capacity_multiplier, 4), 4)
-            return k_cap, cell_cap
-        return e_cap, cell_cap
+            return k_cap, cell_cap, col_grid
+        return e_cap, cell_cap, col_grid
 
-    def _make_update(e_cap: int, cell_cap: int) -> Callable:
+    def _make_update(e_cap: int, cell_cap: int, col_grid=None) -> Callable:
         """e_cap is the per-row K capacity in dense format."""
         if format == "dense":
             if backend == "pallas":
-                edges = edges_fn_factory(e_cap=e_cap, cell_cap=cell_cap)
+                edges = edges_fn_factory(
+                    e_cap=e_cap, cell_cap=cell_cap, grid=col_grid
+                )
             elif backend == "celllist":
                 def edges(position, num_particles):
                     return _celllist_dense(
@@ -581,7 +631,9 @@ def neighbor_list(
                         cell_cap,
                     )
             else:  # pallas
-                pallas_edges = edges_fn_factory(e_cap=e_cap, cell_cap=cell_cap)
+                pallas_edges = edges_fn_factory(
+                    e_cap=e_cap, cell_cap=cell_cap, grid=col_grid
+                )
 
                 def edges(position, num_particles):
                     return pallas_edges(position, num_particles)
@@ -623,12 +675,12 @@ def neighbor_list(
         ``capacity_boost`` scales the buffer beyond the standard multiplier —
         used by rollout retry loops to escalate after an overflow.
         """
-        e_cap, cell_cap = _count_and_caps(position, num_particles)
+        e_cap, cell_cap, col_grid = _count_and_caps(position, num_particles)
         if capacity_boost != 1.0:
             align = 4 if format == "dense" else 128
             e_cap = _round_up(e_cap * capacity_boost, align)
             cell_cap = _round_up(cell_cap * capacity_boost, 4) if cell_cap else 0
-        update = _make_update(e_cap, cell_cap)
+        update = _make_update(e_cap, cell_cap, col_grid)
         n = position.shape[0]
         if format == "dense":
             idx = jnp.full((n, e_cap), n, dtype=jnp.int32)

@@ -1,21 +1,25 @@
 """Pallas TPU kernel for the dense neighbor search.
 
-Cell-major scan over a ghost-padded cell table:
+Column-major scan over a ghost-padded *column table*:
 
-* particles bin into a ``(ncx, ncy, ncz, C)`` table (indices + positions);
-* the table is extended with ghost layers on every axis — for periodic
-  dimensions ghosts replicate the opposite boundary with positions shifted
-  by ±box (so the kernel needs NO minimum-image arithmetic), for free
-  dimensions ghosts hold sentinels;
-* the kernel grid is (xy-columns, 3^(dim-1) stencil steps): one program
-  loads the full z-run of one (x, y) column (receivers) and of one
-  neighboring column (senders) — both contiguous DMAs — computes all
+* particles bin by their first ``dim-1`` cell coordinates into a
+  ``(ncx[, ncy], Ccol)`` column table (indices + positions) — the LAST
+  spatial axis is not discretized at all; its periodicity is handled by a
+  minimum-image correction inside the kernel. This keeps the candidate
+  axis short (column occupancy, not ``(nc_last + 2) * cell_cap`` slots)
+  and removes last-axis ghost layers entirely;
+* the table is extended with ghost layers on the binned axes — for
+  periodic dimensions ghosts replicate the opposite boundary with
+  positions shifted by ±box (no min-image needed for those axes), for
+  free dimensions ghosts hold sentinels;
+* the kernel grid is one program per interior column: it loads the
+  receiver column and its 3^(dim-1) stencil neighbor columns (offsets
+  baked into the BlockSpec index maps — all contiguous DMAs), concatenates
+  the senders into one (Ccol, S*Ccol) candidate matrix, computes all
   pairwise distances, and rank-packs the in-cutoff senders into the
-  per-receiver (K) output slots via a fused cumsum + one-hot reduction.
-  Rank state (accumulator + counts) lives in VMEM scratch across the
-  stencil steps;
-* results land in cell-slot order and scatter back to particle order with
-  one (N, K) row scatter.
+  per-receiver (K) output slots via a fused cumsum + one-hot reduction;
+* results land in column-slot order and scatter back to particle order
+  with one (N, K) row scatter.
 
 Falls back to interpreter mode off-TPU so the same code path is testable
 on CPU.
@@ -39,17 +43,20 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _ghost_constants(cps, box, pbc, dim):
+def _ghost_constants(cps, box, pbc, pos_dim):
     """Static ghost-layer constants: position shifts and validity mask.
 
-    Shapes broadcast against the wrap-padded (ncx+2, ..., C, [dim]) tables.
+    ``cps`` lists the binned (spatial) table axes; positions carry
+    ``pos_dim`` components. Shapes broadcast against the wrap-padded
+    (ncx+2[, ncy+2], C, pos_dim) tables.
     """
+    spatial = len(cps)
     ext_shape = tuple(c + 2 for c in cps)
-    shift = np.zeros(ext_shape + (1, dim), dtype=np.float32)
+    shift = np.zeros(ext_shape + (1, pos_dim), dtype=np.float32)
     invalid = np.zeros(ext_shape + (1,), dtype=bool)
-    for axis in range(dim):
-        idx_lo = [slice(None)] * dim
-        idx_hi = [slice(None)] * dim
+    for axis in range(spatial):
+        idx_lo = [slice(None)] * spatial
+        idx_hi = [slice(None)] * spatial
         idx_lo[axis] = slice(0, 1)
         idx_hi[axis] = slice(ext_shape[axis] - 1, ext_shape[axis])
         if pbc[axis]:
@@ -62,26 +69,27 @@ def _ghost_constants(cps, box, pbc, dim):
 
 
 def _extend_table(
-    table_idx: jnp.ndarray,  # (ncx, ncy, ncz, C) or (ncx, ncy, C)
+    table_idx: jnp.ndarray,  # (ncx[, ncy], C)
     table_pos: jnp.ndarray,  # (..., C, dim)
     box: Sequence[float],
     pbc: Sequence[bool],
     n: int,
 ):
-    """Add ghost layers on every cell axis (wrap+shift or sentinel).
+    """Add ghost layers on every binned axis (wrap+shift or sentinel).
 
     One wrap-pad per table plus adds with STATIC shift/validity constants —
     a handful of kernels instead of two concats per axis per array (kernel
     count matters on launch-overhead-heavy runtimes).
     """
-    dim = table_pos.shape[-1]
+    pos_dim = table_pos.shape[-1]
     cps = table_idx.shape[:-1]
-    pad_cells = tuple((1, 1) for _ in range(dim))
+    spatial = len(cps)
+    pad_cells = tuple((1, 1) for _ in range(spatial))
 
     ext_idx = jnp.pad(table_idx, pad_cells + ((0, 0),), mode="wrap")
     ext_pos = jnp.pad(table_pos, pad_cells + ((0, 0), (0, 0)), mode="wrap")
 
-    shift, invalid = _ghost_constants(cps, box, pbc, dim)
+    shift, invalid = _ghost_constants(cps, box, pbc, pos_dim)
     ext_pos = ext_pos + jnp.asarray(shift, ext_pos.dtype)
     if invalid.any():
         sentinel = jnp.asarray(1e9, ext_pos.dtype)
@@ -98,20 +106,16 @@ def _scan_kernel(
     n_particles: int,
     k_cap: int,
     n_steps: int,
-    cell_cap: int,
+    last_box: float,
+    last_periodic: bool,
 ):
-    """One grid iteration covers one receiver column and ALL stencil steps.
+    """One grid iteration: one receiver column vs its whole stencil.
 
-    The 3^(dim-1) sender columns arrive as separate blocks (offsets baked
-    into their BlockSpec index maps). Because the cell size is >= the
-    cutoff, a receiver in z-cell g can only have neighbors in sender
-    z-cells g-1..g+1 — so each sender column contributes a 3-cell
-    *aligned window* (3C slots) per receiver cell, not its whole z-run.
-    All stencil windows concatenate into one (ncz, S*3C) candidate matrix
-    and the distance test + rank-pack run ONCE over it: ~5x less pack work
-    than scanning full z-runs per stencil step, and grid/DMA overhead
-    amortizes across the whole stencil (the per-(tile, step) grid this
-    replaces measured launch-bound at ~2.2us/iteration).
+    The stencil's sender columns arrive as separate blocks (offsets baked
+    into their BlockSpec index maps) and concatenate into one
+    (Ccol, S*Ccol) candidate matrix, so distance test and rank-pack run
+    once per column. The last spatial axis is not binned; periodic wrap
+    along it is a minimum-image correction on the per-axis difference.
     """
     recv_pos_ref = refs[0]
     send_pos_refs = refs[1 : 1 + n_steps]
@@ -119,73 +123,47 @@ def _scan_kernel(
     out_ref = refs[1 + 2 * n_steps]
     ovf_ref = refs[2 + 2 * n_steps]
 
-    c = cell_cap
-    run = recv_pos_ref.shape[1]
-    ndim = recv_pos_ref.shape[2]
-    nz = run // c - 2  # interior cells along the run axis
-    w = 3 * c  # window width per stencil step
-    cw = n_steps * w  # total candidates per receiver cell
+    rp = recv_pos_ref[0]  # (Ccol, dim)
+    ndim = rp.shape[1]
 
-    # receivers: interior slots only (ghost cells produce no output rows)
-    rp = recv_pos_ref[0, c : (nz + 1) * c, :]  # (nz*C, dim)
+    # (dim, S*Ccol) candidate positions / (1, S*Ccol) candidate indices
+    # (kept 2D: mosaic has no 1D concatenate)
+    wpos = jnp.concatenate([r[0] for r in send_pos_refs], axis=1)
+    widx = jnp.concatenate([r[0] for r in send_idx_refs], axis=1)
 
-    # build the aligned candidate windows: window[g] = sender cells
-    # g-1, g, g+1 — three shifted slices of each sender column
-    pos_windows = []
-    idx_windows = []
-    for j in range(n_steps):
-        sp = send_pos_refs[j][0]  # (dim, run)
-        si = send_idx_refs[j][0, 0]  # (run,)
-        sp3 = sp.reshape(ndim, nz + 2, c)
-        si3 = si.reshape(nz + 2, c)
-        pos_windows.append(
-            jnp.concatenate(
-                [sp3[:, 0:nz], sp3[:, 1 : nz + 1], sp3[:, 2 : nz + 2]],
-                axis=2,
-            )  # (dim, nz, 3C)
-        )
-        idx_windows.append(
-            jnp.concatenate(
-                [si3[0:nz], si3[1 : nz + 1], si3[2 : nz + 2]], axis=1
-            )  # (nz, 3C)
-        )
-    wpos = jnp.concatenate(pos_windows, axis=2)  # (dim, nz, CW)
-    widx = jnp.concatenate(idx_windows, axis=1)  # (nz, CW)
-
-    # distances per axis on (nz, C, CW) blocks (receivers on sublanes,
-    # candidates on lanes; a (.., .., dim) layout would pad 3 -> 128 lanes)
     dist2 = None
     for dd in range(ndim):
-        ra = rp[:, dd].reshape(nz, c, 1)
-        wa = wpos[dd][:, None, :]  # (nz, 1, CW)
-        diff = ra - wa
+        diff = rp[:, dd : dd + 1] - wpos[dd : dd + 1, :]  # (Ccol, S*Ccol)
+        if dd == ndim - 1 and last_periodic:
+            # min-image on the unbinned axis (binned axes use pre-shifted
+            # ghosts instead)
+            diff = diff - last_box * jnp.round(diff * (1.0 / last_box))
         dist2 = diff * diff if dist2 is None else dist2 + diff * diff
-    mask = (dist2 <= cutoff2) & (widx[:, None, :] < n_particles)
+    mask = (dist2 <= cutoff2) & (widx < n_particles)
 
     # prefix-sum along the candidate axis as an MXU matmul with an
     # upper-triangular ones matrix (mosaic has no cumsum primitive);
-    # bf16 is exact here: per-row counts are bounded by CW < 256
-    m2 = mask.reshape(nz * c, cw)
+    # bf16 is exact here: per-row counts are bounded by the true neighbor
+    # count (< 256), not by the candidate-axis length
+    cw = mask.shape[1]
     tri_rows = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 0)
     tri_cols = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 1)
     tri = (tri_rows <= tri_cols).astype(jnp.bfloat16)
-    csum = jnp.dot(m2.astype(jnp.bfloat16), tri,
+    csum = jnp.dot(mask.astype(jnp.bfloat16), tri,
                    preferred_element_type=jnp.float32)
-    slot = jnp.where(m2, csum.astype(jnp.int32) - 1, -1)  # (nz*C, CW)
+    slot = jnp.where(mask, csum.astype(jnp.int32) - 1, -1)
 
-    cand_f = jnp.broadcast_to(
-        widx.astype(jnp.float32)[:, None, :], (nz, c, cw)
-    ).reshape(nz * c, cw)
-    # per-output-slot selection, unrolled over K to keep peak VMEM at a
-    # few (nz*C, CW) temporaries (a (.., CW, K) one-hot blows the budget)
+    # per-output-slot selection, unrolled over K to keep peak VMEM at a few
+    # (Ccol, S*Ccol) temporaries (a (.., .., K) one-hot blows the budget)
+    cand_f = widx.astype(jnp.float32)  # (1, S*Ccol)
     cols = []
     for k in range(k_cap):
         sel = (slot == k).astype(jnp.float32)
         cols.append(jnp.sum(sel * cand_f, axis=1, keepdims=True))
-    acc = jnp.concatenate(cols, axis=1)  # (nz*C, K)
-    counts = jnp.sum(m2.astype(jnp.int32), axis=1, keepdims=True)
+    acc = jnp.concatenate(cols, axis=1)  # (Ccol, K)
+    counts = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
 
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (nz * c, k_cap), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[0], k_cap), 1)
     out_ref[0] = jnp.where(k_iota < counts, acc.astype(jnp.int32), n_particles)
     ovf_ref[0] = jnp.max(counts).reshape(1, 1)
 
@@ -244,31 +222,22 @@ def _binning_kernel(
         ovf_ref[0] = jnp.max(counters[...]).astype(jnp.int32).reshape(1, 1)
 
 
-def build_cell_table_pallas(
+def _table_from_cid(
+    cid: jnp.ndarray,
     position: jnp.ndarray,
-    num_particles,
-    grid: "nb._Grid",
+    num_cells: int,
     cell_cap: int,
-    tile: int = 512,
-    interpret: Optional[bool] = None,
+    tile: int,
+    interpret: bool,
 ):
-    """Pallas-accelerated drop-in for nb._build_cell_table."""
-    if interpret is None:
-        interpret = _interpret_default()
+    """Counting-sort particles into a (num_cells, cap) table by cell id."""
     n, dim = position.shape
-    coords = nb._cell_coords(position, grid)
-    cid = nb._flatten_coords(coords, grid)
-    valid = jnp.arange(n, dtype=jnp.int32) < num_particles
-    cid = jnp.where(valid, cid, grid.num_cells).astype(jnp.int32)
-
     n_pad = -n % tile
-    cid_p = jnp.pad(cid, (0, n_pad), constant_values=grid.num_cells)
+    cid_p = jnp.pad(cid, (0, n_pad), constant_values=num_cells)
     n_tiles = (n + n_pad) // tile
 
     slots, occ = pl.pallas_call(
-        partial(
-            _binning_kernel, cell_cap=cell_cap, num_cells=grid.num_cells
-        ),
+        partial(_binning_kernel, cell_cap=cell_cap, num_cells=num_cells),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
@@ -287,7 +256,7 @@ def build_cell_table_pallas(
             jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
             jax.ShapeDtypeStruct((1, 1, 1), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((grid.num_cells, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((num_cells, 1), jnp.float32)],
         interpret=interpret,
     )(cid_p.reshape(n_tiles, 1, tile))
 
@@ -295,20 +264,66 @@ def build_cell_table_pallas(
     overflow = occ[0, 0, 0] > cell_cap
 
     sentinel = jnp.asarray(1e9, position.dtype)
-    size = grid.num_cells * cell_cap
+    size = num_cells * cell_cap
     table = jnp.full((size,), n, dtype=jnp.int32)
-    table = table.at[slots].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
+    table = table.at[slots].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
     table_pos = jnp.full((size, dim), sentinel, dtype=position.dtype)
     table_pos = table_pos.at[slots].set(position, mode="drop")
 
     return (
-        table.reshape(grid.num_cells, cell_cap),
-        table_pos.reshape(grid.num_cells, cell_cap, dim),
+        table.reshape(num_cells, cell_cap),
+        table_pos.reshape(num_cells, cell_cap, dim),
         overflow,
-        coords,
     )
+
+
+def build_cell_table_pallas(
+    position: jnp.ndarray,
+    num_particles,
+    grid: "nb._Grid",
+    cell_cap: int,
+    tile: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """Pallas-accelerated drop-in for nb._build_cell_table (full-dim bins)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n, _ = position.shape
+    coords = nb._cell_coords(position, grid)
+    cid = nb._flatten_coords(coords, grid)
+    valid = jnp.arange(n, dtype=jnp.int32) < num_particles
+    cid = jnp.where(valid, cid, grid.num_cells).astype(jnp.int32)
+    table, table_pos, overflow = _table_from_cid(
+        cid, position, grid.num_cells, cell_cap, tile, interpret
+    )
+    return table, table_pos, overflow, coords
+
+
+def build_column_table_pallas(
+    position: jnp.ndarray,
+    num_particles,
+    grid: "nb._Grid",
+    col_cap: int,
+    tile: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """Bin particles by their first dim-1 cell coordinates (columns)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n, _ = position.shape
+    cps = grid.cells_per_side
+    coords = nb._cell_coords(position, grid)
+    # flatten the leading dim-1 coordinates only
+    cid = coords[:, 0]
+    for d in range(1, len(cps) - 1):
+        cid = cid * cps[d] + coords[:, d]
+    num_cols = int(np.prod(cps[:-1]))
+    valid = jnp.arange(n, dtype=jnp.int32) < num_particles
+    cid = jnp.where(valid, cid, num_cols).astype(jnp.int32)
+    table, table_pos, overflow = _table_from_cid(
+        cid, position, num_cols, col_cap, tile, interpret
+    )
+    return table, table_pos, overflow
 
 
 def make_edges_fn(
@@ -316,7 +331,7 @@ def make_edges_fn(
     cutoff: float,
     grid: "nb._Grid",
     e_cap: int,  # per-row K capacity (dense format)
-    cell_cap: int,
+    cell_cap: int,  # per-COLUMN capacity for the pallas backend
     box: Optional[Sequence[float]] = None,
     interpret: Optional[bool] = None,
 ):
@@ -337,10 +352,8 @@ def make_edges_fn(
         box = [grid.cell_size[d] * cps[d] for d in range(dim)]
 
     if dim == 3:
-        ncx, ncy, ncz = cps
+        ncx, ncy, _ = cps
         n_tiles = ncx * ncy
-        run = (ncz + 2) * C
-        # stencil over (dx, dy); z covered by the full run
         offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
         off_flat = np.asarray(
             [dx * (ncy + 2) + dy for dx, dy in offs], dtype=np.int32
@@ -353,29 +366,32 @@ def make_edges_fn(
             ],
             dtype=np.int32,
         )
+        n_ext_cols = (ncx + 2) * (ncy + 2)
+        col_shape = (ncx, ncy)
     else:  # dim == 2
-        ncx, ncy = cps
+        ncx = cps[0]
         n_tiles = ncx
-        run = (ncy + 2) * C
         off_flat = np.asarray([-1, 0, 1], dtype=np.int32)
         base = np.asarray([ix + 1 for ix in range(ncx)], dtype=np.int32)
+        n_ext_cols = ncx + 2
+        col_shape = (ncx,)
 
     n_steps = len(off_flat)
     cutoff2 = float(cutoff) ** 2
+    last_box = float(box[dim - 1])
+    last_periodic = bool(grid.pbc[dim - 1])
 
     def edges(position: jnp.ndarray, num_particles) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n = position.shape[0]
-        table_idx, table_pos, cell_overflow, _ = build_cell_table_pallas(
+        table_idx, table_pos, col_overflow = build_column_table_pallas(
             position, num_particles, grid, C, interpret=interpret
         )
-        table_idx = table_idx.reshape(tuple(cps) + (C,))
-        table_pos = table_pos.reshape(tuple(cps) + (C, dim))
+        table_idx = table_idx.reshape(col_shape + (C,))
+        table_pos = table_pos.reshape(col_shape + (C, dim))
         ext_idx, ext_pos = _extend_table(table_idx, table_pos, box, grid.pbc, n)
 
-        # flatten to (ext_columns, run[, dim])
-        n_cols = int(np.prod(ext_idx.shape[:-2])) if dim == 3 else ext_idx.shape[0]
-        ext_idx_f = ext_idx.reshape(n_cols, run)
-        ext_pos_f = ext_pos.reshape(n_cols, run, dim)
+        ext_idx_f = ext_idx.reshape(n_ext_cols, C)
+        ext_pos_f = ext_pos.reshape(n_ext_cols, C, dim)
 
         kernel = partial(
             _scan_kernel,
@@ -383,28 +399,27 @@ def make_edges_fn(
             n_particles=n,
             k_cap=k_cap,
             n_steps=n_steps,
-            cell_cap=C,
+            last_box=last_box,
+            last_periodic=last_periodic,
         )
-        nz_int = run // C - 2  # interior cells along the run axis
-        interior = nz_int * C
-        cw = n_steps * 3 * C
-        # a few (interior, CW) temporaries + the (CW, CW) triangle
-        vmem_estimate = interior * cw * 4 * 8 + cw * cw * 2
+        cw = n_steps * C
+        # a few (C, CW) temporaries + the (CW, CW) triangle dominate VMEM
+        vmem_estimate = C * cw * 4 * 8 + cw * cw * 2
         assert vmem_estimate < 12 * 1024 * 1024, (
-            f"z-run {run} too large for the pallas kernel's VMEM budget; "
-            "use the celllist backend (run chunking lands later)"
+            f"column capacity {C} too large for the pallas kernel's VMEM "
+            "budget; use the celllist backend"
         )
 
         def _send_pos_spec(off):
             return pl.BlockSpec(
-                (1, dim, run),
+                (1, dim, C),
                 lambda i, b, off=off: (b[i] + off, 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
         def _send_idx_spec(off):
             return pl.BlockSpec(
-                (1, 1, run),
+                (1, 1, C),
                 lambda i, b, off=off: (b[i] + off, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -414,7 +429,7 @@ def make_edges_fn(
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, run, dim),
+                    (1, C, dim),
                     lambda i, b: (b[i], 0, 0),
                     memory_space=pltpu.VMEM,
                 )
@@ -423,7 +438,7 @@ def make_edges_fn(
             + [_send_idx_spec(int(o)) for o in off_flat],
             out_specs=[
                 pl.BlockSpec(
-                    (1, interior, k_cap),
+                    (1, C, k_cap),
                     lambda i, b: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -436,12 +451,12 @@ def make_edges_fn(
         )
         ext_pos_f32 = ext_pos_f.astype(jnp.float32)
         ext_pos_t = jnp.transpose(ext_pos_f32, (0, 2, 1))
-        ext_idx_r = ext_idx_f.reshape(n_cols, 1, run)
+        ext_idx_r = ext_idx_f.reshape(n_ext_cols, 1, C)
         slot_senders, ovf = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((n_tiles, interior, k_cap), jnp.int32),
+                jax.ShapeDtypeStruct((n_tiles, C, k_cap), jnp.int32),
                 jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
             ],
             interpret=interpret,
@@ -452,14 +467,14 @@ def make_edges_fn(
             *([ext_idx_r] * n_steps),
         )
 
-        # kernel emits interior rows only; scatter back to particle order
+        # kernel emits interior columns only; scatter back to particle order
         rows = slot_senders.reshape(-1, k_cap)
         slots = table_idx.reshape(-1)
 
         senders = jnp.full((n, k_cap), n, dtype=jnp.int32)
         senders = senders.at[slots].set(rows, mode="drop")
 
-        overflow = (jnp.max(ovf) > k_cap) | cell_overflow
+        overflow = (jnp.max(ovf) > k_cap) | col_overflow
         return senders, overflow
 
     return edges

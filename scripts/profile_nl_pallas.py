@@ -55,28 +55,29 @@ def main():
             nb._cell_coords(position + s, grid), grid
         ),
     )
+    col_cap = 88
     timeit(
-        "cell_table_pallas (binning + table scatters)",
-        lambda s: nbp.build_cell_table_pallas(
-            position + s, n, grid, cell_cap
+        "column_table_pallas (binning + table scatters)",
+        lambda s: nbp.build_column_table_pallas(
+            position + s, n, grid, col_cap
         )[:2],
     )
 
-    table_idx, table_pos, _, _ = nbp.build_cell_table_pallas(
-        position, n, grid, cell_cap
+    table_idx, table_pos, _ = nbp.build_column_table_pallas(
+        position, n, grid, col_cap
     )
     cps = tuple(grid.cells_per_side)
-    ti = table_idx.reshape(cps + (cell_cap,))
-    tp = table_pos.reshape(cps + (cell_cap, dim))
+    ti = table_idx.reshape(cps[:-1] + (col_cap,))
+    tp = table_pos.reshape(cps[:-1] + (col_cap, dim))
     timeit(
         "extend_table",
         lambda s: nbp._extend_table(ti, tp + s, [box] * dim, grid.pbc, n),
     )
 
-    edges_fn = nbp.make_edges_fn(
-        disp_fn, cutoff, grid, k_cap, cell_cap, box=[box] * dim
-    )
-    timeit("edges_full", lambda s: edges_fn(position + s, n)[0])
+    fns = nb.neighbor_list(disp_fn, [box] * dim, cutoff, backend="pallas",
+                           format="dense", capacity_multiplier=1.25)
+    shell = fns.allocate_shell(position, num_particles=n)
+    timeit("edges_full", lambda s: shell.update_fn(position + s, None, num_particles=n).idx)
     # correctness vs celllist backend
     s_new, ovf = edges_fn(position, n)
     s_ref = nb._celllist_dense(position, n, disp_fn, cutoff, 24, grid, cell_cap)[0]
