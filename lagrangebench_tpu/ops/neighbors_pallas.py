@@ -8,16 +8,14 @@ Column-major scan over a ghost-padded *column table*:
   minimum-image correction inside the kernel. This keeps the candidate
   axis short (column occupancy, not ``(nc_last + 2) * cell_cap`` slots)
   and removes last-axis ghost layers entirely;
-* the table is extended with ghost layers on the binned axes — for
-  periodic dimensions ghosts replicate the opposite boundary with
-  positions shifted by ±box (no min-image needed for those axes), for
-  free dimensions ghosts hold sentinels;
-* the kernel grid is one program per interior column: it loads the
-  receiver column and its 3^(dim-1) stencil neighbor columns (offsets
-  baked into the BlockSpec index maps — all contiguous DMAs), concatenates
-  the senders into one (Ccol, S*Ccol) candidate matrix, computes all
-  pairwise distances, and rank-packs the in-cutoff senders into the
-  per-receiver (K) output slots via a fused cumsum + one-hot reduction;
+* there are NO ghost tables: the kernel grid is one program per column,
+  whose 3^(dim-1) stencil neighbor columns arrive as separate blocks with
+  wrapped column ids from a scalar-prefetched base table (free-axis
+  out-of-range offsets point at one shared sentinel column). The senders
+  concatenate into one (Ccol, S*Ccol) candidate matrix; periodic wrap on
+  EVERY axis is a per-axis minimum-image correction, then all pairwise
+  distances and a fused cumsum + one-hot rank-pack fill the per-receiver
+  (K) output slots;
 * results land in column-slot order and scatter back to particle order
   with one (N, K) row scatter.
 
@@ -43,62 +41,6 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _ghost_constants(cps, box, pbc, pos_dim):
-    """Static ghost-layer constants: position shifts and validity mask.
-
-    ``cps`` lists the binned (spatial) table axes; positions carry
-    ``pos_dim`` components. Shapes broadcast against the wrap-padded
-    (ncx+2[, ncy+2], C, pos_dim) tables.
-    """
-    spatial = len(cps)
-    ext_shape = tuple(c + 2 for c in cps)
-    shift = np.zeros(ext_shape + (1, pos_dim), dtype=np.float32)
-    invalid = np.zeros(ext_shape + (1,), dtype=bool)
-    for axis in range(spatial):
-        idx_lo = [slice(None)] * spatial
-        idx_hi = [slice(None)] * spatial
-        idx_lo[axis] = slice(0, 1)
-        idx_hi[axis] = slice(ext_shape[axis] - 1, ext_shape[axis])
-        if pbc[axis]:
-            shift[tuple(idx_lo)][..., axis] -= box[axis]
-            shift[tuple(idx_hi)][..., axis] += box[axis]
-        else:
-            invalid[tuple(idx_lo)] = True
-            invalid[tuple(idx_hi)] = True
-    return shift, invalid
-
-
-def _extend_table(
-    table_idx: jnp.ndarray,  # (ncx[, ncy], C)
-    table_pos: jnp.ndarray,  # (..., C, dim)
-    box: Sequence[float],
-    pbc: Sequence[bool],
-    n: int,
-):
-    """Add ghost layers on every binned axis (wrap+shift or sentinel).
-
-    One wrap-pad per table plus adds with STATIC shift/validity constants —
-    a handful of kernels instead of two concats per axis per array (kernel
-    count matters on launch-overhead-heavy runtimes).
-    """
-    pos_dim = table_pos.shape[-1]
-    cps = table_idx.shape[:-1]
-    spatial = len(cps)
-    pad_cells = tuple((1, 1) for _ in range(spatial))
-
-    ext_idx = jnp.pad(table_idx, pad_cells + ((0, 0),), mode="wrap")
-    ext_pos = jnp.pad(table_pos, pad_cells + ((0, 0), (0, 0)), mode="wrap")
-
-    shift, invalid = _ghost_constants(cps, box, pbc, pos_dim)
-    ext_pos = ext_pos + jnp.asarray(shift, ext_pos.dtype)
-    if invalid.any():
-        sentinel = jnp.asarray(1e9, ext_pos.dtype)
-        inv = jnp.asarray(invalid)
-        ext_idx = jnp.where(inv, n, ext_idx)
-        ext_pos = jnp.where(inv[..., None], sentinel, ext_pos)
-    return ext_idx, ext_pos
-
-
 def _scan_kernel(
     base_ref,  # scalar prefetch: (n_tiles,) ext column index per tile
     *refs,
@@ -106,16 +48,19 @@ def _scan_kernel(
     n_particles: int,
     k_cap: int,
     n_steps: int,
-    last_box: float,
-    last_periodic: bool,
+    box: tuple,
+    pbc: tuple,
 ):
     """One grid iteration: one receiver column vs its whole stencil.
 
-    The stencil's sender columns arrive as separate blocks (offsets baked
-    into their BlockSpec index maps) and concatenate into one
-    (Ccol, S*Ccol) candidate matrix, so distance test and rank-pack run
-    once per column. The last spatial axis is not binned; periodic wrap
-    along it is a minimum-image correction on the per-axis difference.
+    The stencil's sender columns arrive as separate blocks (their wrapped
+    column ids come from a scalar-prefetched base table) and concatenate
+    into one (Ccol, S*Ccol) candidate matrix, so distance test and
+    rank-pack run once per column. There are NO ghost tables: periodic
+    wrap on every axis is a minimum-image correction on the per-axis
+    difference (cells are >= the cutoff, so only the wrap image can
+    matter), and free-axis out-of-range offsets point at a sentinel
+    column whose candidates are index-masked.
     """
     recv_pos_ref = refs[0]
     send_pos_refs = refs[1 : 1 + n_steps]
@@ -134,10 +79,11 @@ def _scan_kernel(
     dist2 = None
     for dd in range(ndim):
         diff = rp[:, dd : dd + 1] - wpos[dd : dd + 1, :]  # (Ccol, S*Ccol)
-        if dd == ndim - 1 and last_periodic:
-            # min-image on the unbinned axis (binned axes use pre-shifted
-            # ghosts instead)
-            diff = diff - last_box * jnp.round(diff * (1.0 / last_box))
+        if pbc[dd]:
+            # round-to-nearest via floor(x + 0.5): jnp.round's half-even
+            # lowering trips a pallas/mosaic lowering-cache bug, and the
+            # half-way case is measure-zero here
+            diff = diff - box[dd] * jnp.floor(diff * (1.0 / box[dd]) + 0.5)
         dist2 = diff * diff if dist2 is None else dist2 + diff * diff
     mask = (dist2 <= cutoff2) & (widx < n_particles)
 
@@ -162,6 +108,10 @@ def _scan_kernel(
         cols.append(jnp.sum(sel * cand_f, axis=1, keepdims=True))
     acc = jnp.concatenate(cols, axis=1)  # (Ccol, K)
     counts = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
+    # invalid receiver slots accumulate garbage min-image distances; their
+    # sentinel position (1e9, far beyond any box) gates them out
+    recv_valid = rp[:, 0:1] < 1e8
+    counts = jnp.where(recv_valid, counts, 0)
 
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[0], k_cap), 1)
     out_ref[0] = jnp.where(k_iota < counts, acc.astype(jnp.int32), n_particles)
@@ -351,47 +301,66 @@ def make_edges_fn(
     if box is None:
         box = [grid.cell_size[d] * cps[d] for d in range(dim)]
 
+    # per-(tile, stencil-step) sender column ids: wrapped on periodic axes,
+    # pointing at the sentinel column (id = n_cols) when a free axis runs
+    # out of range. No ghost tables, no position shifts — the kernel
+    # min-images periodic axes directly.
     if dim == 3:
         ncx, ncy, _ = cps
         n_tiles = ncx * ncy
         offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-        off_flat = np.asarray(
-            [dx * (ncy + 2) + dy for dx, dy in offs], dtype=np.int32
-        )
-        base = np.asarray(
-            [
-                (ix + 1) * (ncy + 2) + (iy + 1)
-                for ix in range(ncx)
-                for iy in range(ncy)
-            ],
-            dtype=np.int32,
-        )
-        n_ext_cols = (ncx + 2) * (ncy + 2)
-        col_shape = (ncx, ncy)
+        n_cols = ncx * ncy
+        bases = np.empty((n_tiles, len(offs)), dtype=np.int32)
+        for t, (ix, iy) in enumerate(
+            (ix, iy) for ix in range(ncx) for iy in range(ncy)
+        ):
+            for j, (dx, dy) in enumerate(offs):
+                jx, jy = ix + dx, iy + dy
+                ok = True
+                if grid.pbc[0]:
+                    jx %= ncx
+                elif not (0 <= jx < ncx):
+                    ok = False
+                if grid.pbc[1]:
+                    jy %= ncy
+                elif not (0 <= jy < ncy):
+                    ok = False
+                bases[t, j] = jx * ncy + jy if ok else n_cols
     else:  # dim == 2
         ncx = cps[0]
         n_tiles = ncx
-        off_flat = np.asarray([-1, 0, 1], dtype=np.int32)
-        base = np.asarray([ix + 1 for ix in range(ncx)], dtype=np.int32)
-        n_ext_cols = ncx + 2
-        col_shape = (ncx,)
+        offs = [(-1,), (0,), (1,)]
+        n_cols = ncx
+        bases = np.empty((n_tiles, 3), dtype=np.int32)
+        for ix in range(ncx):
+            for j, (dx,) in enumerate(offs):
+                jx = ix + dx
+                ok = True
+                if grid.pbc[0]:
+                    jx %= ncx
+                elif not (0 <= jx < ncx):
+                    ok = False
+                bases[ix, j] = jx if ok else n_cols
 
-    n_steps = len(off_flat)
+    n_steps = len(offs)
     cutoff2 = float(cutoff) ** 2
-    last_box = float(box[dim - 1])
-    last_periodic = bool(grid.pbc[dim - 1])
+    box_t = tuple(float(b) for b in box)
+    pbc_t = tuple(bool(p) for p in grid.pbc)
 
     def edges(position: jnp.ndarray, num_particles) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n = position.shape[0]
         table_idx, table_pos, col_overflow = build_column_table_pallas(
             position, num_particles, grid, C, interpret=interpret
         )
-        table_idx = table_idx.reshape(col_shape + (C,))
-        table_pos = table_pos.reshape(col_shape + (C, dim))
-        ext_idx, ext_pos = _extend_table(table_idx, table_pos, box, grid.pbc, n)
-
-        ext_idx_f = ext_idx.reshape(n_ext_cols, C)
-        ext_pos_f = ext_pos.reshape(n_ext_cols, C, dim)
+        # append the sentinel column (invalid idx, far-away positions)
+        sentinel = jnp.asarray(1e9, table_pos.dtype)
+        idx_f = jnp.concatenate(
+            [table_idx, jnp.full((1, C), n, jnp.int32)], axis=0
+        )
+        pos_f = jnp.concatenate(
+            [table_pos, jnp.full((1, C, dim), sentinel, table_pos.dtype)],
+            axis=0,
+        )
 
         kernel = partial(
             _scan_kernel,
@@ -399,8 +368,8 @@ def make_edges_fn(
             n_particles=n,
             k_cap=k_cap,
             n_steps=n_steps,
-            last_box=last_box,
-            last_periodic=last_periodic,
+            box=box_t,
+            pbc=pbc_t,
         )
         cw = n_steps * C
         # a few (C, CW) temporaries + the (CW, CW) triangle dominate VMEM
@@ -410,17 +379,17 @@ def make_edges_fn(
             "budget; use the celllist backend"
         )
 
-        def _send_pos_spec(off):
+        def _send_pos_spec(j):
             return pl.BlockSpec(
                 (1, dim, C),
-                lambda i, b, off=off: (b[i] + off, 0, 0),
+                lambda i, b, j=j: (b[i, j], 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
-        def _send_idx_spec(off):
+        def _send_idx_spec(j):
             return pl.BlockSpec(
                 (1, 1, C),
-                lambda i, b, off=off: (b[i] + off, 0, 0),
+                lambda i, b, j=j: (b[i, j], 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
@@ -430,12 +399,12 @@ def make_edges_fn(
             in_specs=[
                 pl.BlockSpec(
                     (1, C, dim),
-                    lambda i, b: (b[i], 0, 0),
+                    lambda i, b: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
             ]
-            + [_send_pos_spec(int(o)) for o in off_flat]
-            + [_send_idx_spec(int(o)) for o in off_flat],
+            + [_send_pos_spec(j) for j in range(n_steps)]
+            + [_send_idx_spec(j) for j in range(n_steps)],
             out_specs=[
                 pl.BlockSpec(
                     (1, C, k_cap),
@@ -449,9 +418,9 @@ def make_edges_fn(
                 ),
             ],
         )
-        ext_pos_f32 = ext_pos_f.astype(jnp.float32)
-        ext_pos_t = jnp.transpose(ext_pos_f32, (0, 2, 1))
-        ext_idx_r = ext_idx_f.reshape(n_ext_cols, 1, C)
+        pos_f32 = pos_f.astype(jnp.float32)
+        pos_t = jnp.transpose(pos_f32, (0, 2, 1))
+        idx_r = idx_f.reshape(n_cols + 1, 1, C)
         slot_senders, ovf = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -461,10 +430,10 @@ def make_edges_fn(
             ],
             interpret=interpret,
         )(
-            jnp.asarray(base),
-            ext_pos_f32,
-            *([ext_pos_t] * n_steps),
-            *([ext_idx_r] * n_steps),
+            jnp.asarray(bases),
+            pos_f32,
+            *([pos_t] * n_steps),
+            *([idx_r] * n_steps),
         )
 
         # kernel emits interior columns only; scatter back to particle order

@@ -63,23 +63,13 @@ def main():
         )[:2],
     )
 
-    table_idx, table_pos, _ = nbp.build_column_table_pallas(
-        position, n, grid, col_cap
-    )
-    cps = tuple(grid.cells_per_side)
-    ti = table_idx.reshape(cps[:-1] + (col_cap,))
-    tp = table_pos.reshape(cps[:-1] + (col_cap, dim))
-    timeit(
-        "extend_table",
-        lambda s: nbp._extend_table(ti, tp + s, [box] * dim, grid.pbc, n),
-    )
-
     fns = nb.neighbor_list(disp_fn, [box] * dim, cutoff, backend="pallas",
                            format="dense", capacity_multiplier=1.25)
     shell = fns.allocate_shell(position, num_particles=n)
     timeit("edges_full", lambda s: shell.update_fn(position + s, None, num_particles=n).idx)
     # correctness vs celllist backend
-    s_new, ovf = edges_fn(position, n)
+    nb2 = shell.update_fn(position, None, num_particles=n)
+    s_new, ovf = nb2.idx, nb2.did_buffer_overflow
     s_ref = nb._celllist_dense(position, n, disp_fn, cutoff, 24, grid, cell_cap)[0]
     match = bool(jnp.all(jnp.sort(s_new, axis=1) == jnp.sort(s_ref, axis=1)))
     print("matches celllist:", match, "overflow:", bool(ovf), flush=True)
