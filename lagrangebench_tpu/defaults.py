@@ -131,9 +131,10 @@ def set_defaults() -> Config:
 
     # -- neighbor list ----------------------------------------------------
     cfg.neighbors = Config()
-    # allpairs | celllist | pallas. The pallas kernel is the fastest for
-    # single-trajectory (batch=1) rollouts on TPU; under vmapped batches it
-    # currently lowers poorly — keep celllist for batched training/eval.
+    # allpairs | celllist | pallas. The pallas kernel is the fastest on TPU
+    # for both single-trajectory rollouts and vmapped batches (a custom
+    # batching rule folds the whole batch into one kernel launch); celllist
+    # is the portable XLA default.
     cfg.neighbors.backend = "celllist"
     cfg.neighbors.multiplier = 1.25  # capacity headroom on the edge buffer
     # edge layout: "dense" (N, K) per-receiver sender matrix — the TPU fast

@@ -179,9 +179,20 @@ def _table_from_cid(
     cell_cap: int,
     tile: int,
     interpret: bool,
+    values: Optional[jnp.ndarray] = None,
+    fill: Optional[int] = None,
 ):
-    """Counting-sort particles into a (num_cells, cap) table by cell id."""
+    """Counting-sort particles into a (num_cells, cap) table by cell id.
+
+    ``values`` are the int32 payloads scattered into the index table
+    (default: the particle's own row index); ``fill`` is the empty-slot
+    sentinel (default: the particle count).
+    """
     n, dim = position.shape
+    if values is None:
+        values = jnp.arange(n, dtype=jnp.int32)
+    if fill is None:
+        fill = n
     n_pad = -n % tile
     cid_p = jnp.pad(cid, (0, n_pad), constant_values=num_cells)
     n_tiles = (n + n_pad) // tile
@@ -215,8 +226,8 @@ def _table_from_cid(
 
     sentinel = jnp.asarray(1e9, position.dtype)
     size = num_cells * cell_cap
-    table = jnp.full((size,), n, dtype=jnp.int32)
-    table = table.at[slots].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    table = jnp.full((size,), fill, dtype=jnp.int32)
+    table = table.at[slots].set(values.astype(jnp.int32), mode="drop")
     table_pos = jnp.full((size, dim), sentinel, dtype=position.dtype)
     table_pos = table_pos.at[slots].set(position, mode="drop")
 
@@ -347,20 +358,73 @@ def make_edges_fn(
     box_t = tuple(float(b) for b in box)
     pbc_t = tuple(bool(p) for p in grid.pbc)
 
-    def edges(position: jnp.ndarray, num_particles) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        n = position.shape[0]
-        table_idx, table_pos, col_overflow = build_column_table_pallas(
-            position, num_particles, grid, C, interpret=interpret
+    cw = n_steps * C
+    # a few (C, CW) temporaries + the (CW, CW) triangle dominate VMEM
+    vmem_estimate = C * cw * 4 * 8 + cw * cw * 2
+    assert vmem_estimate < 12 * 1024 * 1024, (
+        f"column capacity {C} too large for the pallas kernel's VMEM "
+        "budget; use the celllist backend"
+    )
+
+    def _edges_impl(
+        position: jnp.ndarray, num_particles: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched kernel driver: position (B, N, dim), num_particles (B,).
+
+        All samples share ONE pallas launch: their column tables concatenate
+        along the leading axis — each sample owns an (n_cols + 1)-row span
+        (its own sentinel column included) — and the kernel grid becomes
+        (B, n_tiles), so per-sample stencil blocks come from the sample's
+        span via a batch-offset base table. One launch for the whole batch
+        is what makes the kernel usable under vmapped training/eval
+        preprocessing (a vmapped pallas_call would lower poorly).
+        """
+        bsz, n, _ = position.shape
+
+        # per-sample column ids; invalid particles park in the shared
+        # out-of-range bin so the counting sort drops them
+        def cid_of(pos, npart):
+            coords = nb._cell_coords(pos, grid)
+            cid = coords[:, 0]
+            for d in range(1, dim - 1):
+                cid = cid * cps[d] + coords[:, d]
+            valid = jnp.arange(n, dtype=jnp.int32) < npart
+            return jnp.where(valid, cid, -1).astype(jnp.int32)
+
+        cid_local = jax.vmap(cid_of)(position, num_particles)  # (B, N)
+        offs = jnp.arange(bsz, dtype=jnp.int32)[:, None] * n_cols
+        cid_flat = jnp.where(
+            cid_local >= 0, cid_local + offs, bsz * n_cols
+        ).reshape(-1)
+        # table payloads are LOCAL particle ids (senders are per-sample)
+        local_ids = jnp.tile(jnp.arange(n, dtype=jnp.int32), bsz)
+        table_idx, table_pos, col_overflow = _table_from_cid(
+            cid_flat,
+            position.reshape(bsz * n, dim),
+            bsz * n_cols,
+            C,
+            tile=512,
+            interpret=interpret,
+            values=local_ids,
+            fill=n,
         )
-        # append the sentinel column (invalid idx, far-away positions)
+
+        # append one sentinel column per sample (invalid idx, far positions)
         sentinel = jnp.asarray(1e9, table_pos.dtype)
         idx_f = jnp.concatenate(
-            [table_idx, jnp.full((1, C), n, jnp.int32)], axis=0
-        )
+            [
+                table_idx.reshape(bsz, n_cols, C),
+                jnp.full((bsz, 1, C), n, jnp.int32),
+            ],
+            axis=1,
+        ).reshape(bsz * (n_cols + 1), C)
         pos_f = jnp.concatenate(
-            [table_pos, jnp.full((1, C, dim), sentinel, table_pos.dtype)],
-            axis=0,
-        )
+            [
+                table_pos.reshape(bsz, n_cols, C, dim),
+                jnp.full((bsz, 1, C, dim), sentinel, table_pos.dtype),
+            ],
+            axis=1,
+        ).reshape(bsz * (n_cols + 1), C, dim)
 
         kernel = partial(
             _scan_kernel,
@@ -371,35 +435,35 @@ def make_edges_fn(
             box=box_t,
             pbc=pbc_t,
         )
-        cw = n_steps * C
-        # a few (C, CW) temporaries + the (CW, CW) triangle dominate VMEM
-        vmem_estimate = C * cw * 4 * 8 + cw * cw * 2
-        assert vmem_estimate < 12 * 1024 * 1024, (
-            f"column capacity {C} too large for the pallas kernel's VMEM "
-            "budget; use the celllist backend"
+
+        # flat-row base table: sample bb's stencil step j for tile t reads
+        # row bb*(n_cols+1) + bases[t, j] (bases==n_cols -> the sentinel)
+        bases_b = (
+            np.arange(bsz, dtype=np.int32)[:, None, None] * (n_cols + 1)
+            + bases[None, :, :]
         )
 
         def _send_pos_spec(j):
             return pl.BlockSpec(
                 (1, dim, C),
-                lambda i, b, j=j: (b[i, j], 0, 0),
+                lambda bb, t, b, j=j: (b[bb, t, j], 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
         def _send_idx_spec(j):
             return pl.BlockSpec(
                 (1, 1, C),
-                lambda i, b, j=j: (b[i, j], 0, 0),
+                lambda bb, t, b, j=j: (b[bb, t, j], 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_tiles,),
+            grid=(bsz, n_tiles),
             in_specs=[
                 pl.BlockSpec(
                     (1, C, dim),
-                    lambda i, b: (i, 0, 0),
+                    lambda bb, t, b: (bb * (n_cols + 1) + t, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
             ]
@@ -408,42 +472,70 @@ def make_edges_fn(
             out_specs=[
                 pl.BlockSpec(
                     (1, C, k_cap),
-                    lambda i, b: (i, 0, 0),
+                    lambda bb, t, b: (bb * n_tiles + t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (1, 1, 1),
-                    lambda i, b: (i, 0, 0),
+                    lambda bb, t, b: (bb * n_tiles + t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
         )
         pos_f32 = pos_f.astype(jnp.float32)
         pos_t = jnp.transpose(pos_f32, (0, 2, 1))
-        idx_r = idx_f.reshape(n_cols + 1, 1, C)
+        idx_r = idx_f.reshape(bsz * (n_cols + 1), 1, C)
         slot_senders, ovf = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((n_tiles, C, k_cap), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
+                jax.ShapeDtypeStruct((bsz * n_tiles, C, k_cap), jnp.int32),
+                jax.ShapeDtypeStruct((bsz * n_tiles, 1, 1), jnp.int32),
             ],
             interpret=interpret,
         )(
-            jnp.asarray(bases),
+            jnp.asarray(bases_b),
             pos_f32,
             *([pos_t] * n_steps),
             *([idx_r] * n_steps),
         )
 
-        # kernel emits interior columns only; scatter back to particle order
+        # kernel emits interior columns only; scatter rows back to
+        # per-sample particle order (invalid slots land out of range)
         rows = slot_senders.reshape(-1, k_cap)
-        slots = table_idx.reshape(-1)
+        local = table_idx.reshape(bsz, n_cols * C)
+        slots = jnp.where(
+            local < n,
+            local + jnp.arange(bsz, dtype=jnp.int32)[:, None] * n,
+            bsz * n,
+        ).reshape(-1)
 
-        senders = jnp.full((n, k_cap), n, dtype=jnp.int32)
+        senders = jnp.full((bsz * n, k_cap), n, dtype=jnp.int32)
         senders = senders.at[slots].set(rows, mode="drop")
+        senders = senders.reshape(bsz, n, k_cap)
 
-        overflow = (jnp.max(ovf) > k_cap) | col_overflow
+        max_rowcount = jnp.max(ovf.reshape(bsz, n_tiles), axis=1)
+        overflow = (max_rowcount > k_cap) | col_overflow
         return senders, overflow
+
+    @jax.custom_batching.custom_vmap
+    def edges(position: jnp.ndarray, num_particles) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        npart = jnp.asarray(num_particles, jnp.int32)
+        senders, overflow = _edges_impl(position[None], npart[None])
+        return senders[0], overflow[0]
+
+    @edges.def_vmap
+    def _edges_vmap_rule(axis_size, in_batched, position, num_particles):
+        """Batched NL updates share one pallas launch (grid over the batch)."""
+        pos_b, np_b = in_batched
+        if not pos_b:
+            position = jnp.broadcast_to(
+                position, (axis_size,) + position.shape
+            )
+        npart = jnp.asarray(num_particles, jnp.int32)
+        if not np_b:
+            npart = jnp.broadcast_to(npart, (axis_size,))
+        senders, overflow = _edges_impl(position, npart)
+        return (senders, overflow), (True, True)
 
     return edges

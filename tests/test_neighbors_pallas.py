@@ -111,3 +111,64 @@ def test_binning_kernel_overflow_flag():
     grid = nb.make_grid([2.0] * 3, 0.31, [True] * 3)
     _, _, ovf, _ = build_cell_table_pallas(pos, 32, grid, 8, tile=16, interpret=True)
     assert bool(ovf)
+
+
+def test_pallas_batched_vmap_matches_single():
+    """vmapped updates hit the custom batching rule (one shared launch)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    box, cutoff, n, b = 2.0, 0.31, 96, 3
+    disp, _ = periodic(box)
+    fns = neighbor_list(
+        disp, [box] * 3, cutoff, backend="pallas", format="dense"
+    )
+    pos_b = rng.uniform(0, box, size=(b, n, 3))
+    npart = np.array([n, n - 20, n], np.int32)
+
+    shell = fns.allocate_shell(pos_b[0], num_particles=int(npart[0]))
+    upd = jax.vmap(
+        lambda p, m: shell.update_fn(p, None, num_particles=m),
+        in_axes=(0, 0),
+    )
+    nl_b = upd(jnp.asarray(pos_b), jnp.asarray(npart))
+    assert nl_b.idx.shape[0] == b
+    assert not bool(jnp.any(nl_b.did_buffer_overflow))
+
+    for i in range(b):
+        single = shell.update_fn(
+            jnp.asarray(pos_b[i]), None, num_particles=int(npart[i])
+        )
+        got = {
+            (r, int(s))
+            for r in range(n)
+            for s in np.asarray(nl_b.idx[i][r])
+            if s < n
+        }
+        want = dense_edge_set(single, n)
+        assert got == want
+        assert want == brute_force_edges(
+            pos_b[i], box, cutoff, True, num_particles=int(npart[i])
+        )
+
+
+def test_pallas_batched_overflow_per_sample():
+    """A collapsed sample flags overflow; vmapped flag is conservative."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    box, cutoff, n, b = 3.0, 0.4, 128, 2
+    disp, _ = periodic(box)
+    fns = neighbor_list(
+        disp, [box] * 3, cutoff, backend="pallas", format="dense"
+    )
+    pos0 = rng.uniform(0, box, size=(n, 3))
+    shell = fns.allocate_shell(pos0)
+
+    collapsed = 1.5 + 0.01 * rng.uniform(size=(n, 3))
+    pos_b = np.stack([pos0, collapsed])
+    upd = jax.vmap(lambda p: shell.update_fn(p, None), in_axes=0)
+    nl_b = upd(jnp.asarray(pos_b))
+    ovf = np.asarray(nl_b.did_buffer_overflow)
+    assert ovf.shape == (b,)
+    assert ovf.any()
