@@ -156,17 +156,254 @@ def _gns_mp_step_vjp_fwd(e, hs_gath, hr_proj, h, mask, p, tile, interpret):
 
 def _gns_mp_step_vjp_bwd(tile, interpret, residuals, cotangents):
     e, hs_gath, hr_proj, h, mask, p = residuals
-    _, vjp = jax.vjp(
-        lambda e_, hs_, hr_, h_, p_: gns_mp_step_reference(
-            e_, hs_, hr_, h_, mask, p_
-        ),
-        e, hs_gath, hr_proj, h, p,
+    de, dhs, dhr, dh, dp = _gns_mp_step_bwd_pallas(
+        e, hs_gath, hr_proj, h, mask, p, cotangents, interpret
     )
-    de, dhs, dhr, dh, dp = vjp(cotangents)
     return de, dhs, dhr, dh, jnp.zeros_like(mask), dp
 
 
 _gns_mp_step_vjp.defvjp(_gns_mp_step_vjp_fwd, _gns_mp_step_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused backward kernel
+# ---------------------------------------------------------------------------
+
+# weight-gradient output order of the backward kernel (all accumulated
+# across receiver tiles in float32)
+_BWD_PARAM_ORDER = (
+    "w_e", "b1", "w2", "b2", "ln1_scale", "ln1_bias",
+    "w_nh", "w_na", "bn1", "wn2", "bn2", "ln2_scale", "ln2_bias",
+)
+
+
+def _dot_t(a, b):
+    """a @ b.T without materializing the transpose (contract on dim 1)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_g(a, b):
+    """a.T @ b — weight-gradient contraction (contract on dim 0)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _ln_bwd(dy, xhat, inv, scale):
+    """LayerNorm input gradient given normalized activations."""
+    dxhat = dy * scale
+    mean1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mean2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return inv * (dxhat - mean1 - xhat * mean2)
+
+
+def _fused_bwd_kernel(
+    e_ref, hs_ref, hr_ref, h_ref, mask_ref, ge_ref, gh_ref,
+    w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
+    wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
+    de_ref, dhs_ref, dhr_ref, dh_ref,
+    dw_e_ref, db1_ref, dw2_ref, db2_ref, dg1_ref, dbe1_ref,
+    dwnh_ref, dwna_ref, dbn1_ref, dwn2_ref, dbn2_ref, dg2_ref, dbe2_ref,
+):
+    """One receiver tile of the fused-MP backward (forward rematerialized).
+
+    The forward intermediates are recomputed in VMEM from the inputs (remat
+    costs two extra edge matmuls but avoids spilling (t*k, f) float32
+    activations to HBM); weight gradients accumulate across grid steps into
+    constant-index float32 output blocks.
+    """
+    t, k, f = e_ref.shape
+    f32 = jnp.float32
+    cdt = e_ref.dtype
+    eps = 1e-5
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for r in (
+            dw_e_ref, db1_ref, dw2_ref, db2_ref, dg1_ref, dbe1_ref,
+            dwnh_ref, dwna_ref, dbn1_ref, dwn2_ref, dbn2_ref, dg2_ref,
+            dbe2_ref,
+        ):
+            r[...] = jnp.zeros_like(r)
+
+    # ---- forward rematerialization -------------------------------------
+    e2 = e_ref[...].reshape(t * k, f)
+    first = jnp.dot(e2, w_e_ref[...], preferred_element_type=f32)
+    first += hs_ref[...].reshape(t * k, f).astype(f32)
+    hr = hr_ref[...].astype(f32)
+    first = (
+        first.reshape(t, k, f) + hr[:, None, :] + b1_ref[...].astype(f32)
+    ).reshape(t * k, f)
+    r1 = jnp.maximum(first, 0.0)
+    r1c = r1.astype(cdt)
+    x1 = jnp.dot(r1c, w2_ref[...], preferred_element_type=f32)
+    x1 += b2_ref[...].astype(f32)
+    mu1 = jnp.mean(x1, axis=-1, keepdims=True)
+    var1 = jnp.mean((x1 - mu1) ** 2, axis=-1, keepdims=True)
+    inv1 = jax.lax.rsqrt(var1 + eps)
+    xhat1 = (x1 - mu1) * inv1
+    g1 = g1_ref[...].astype(f32)
+    m = xhat1 * g1 + be1_ref[...].astype(f32)
+
+    maskf = mask_ref[...].astype(f32)  # (t, k)
+    agg = jnp.sum(m.reshape(t, k, f) * maskf[..., None], axis=1)  # (t, f)
+    aggc = agg.astype(cdt)
+
+    h_in = h_ref[...]
+    nf = jnp.dot(h_in, wnh_ref[...], preferred_element_type=f32)
+    nf += jnp.dot(aggc, wna_ref[...], preferred_element_type=f32)
+    nf += bn1_ref[...].astype(f32)
+    r2 = jnp.maximum(nf, 0.0)
+    r2c = r2.astype(cdt)
+    y1 = jnp.dot(r2c, wn2_ref[...], preferred_element_type=f32)
+    y1 += bn2_ref[...].astype(f32)
+    mu2 = jnp.mean(y1, axis=-1, keepdims=True)
+    var2 = jnp.mean((y1 - mu2) ** 2, axis=-1, keepdims=True)
+    inv2 = jax.lax.rsqrt(var2 + eps)
+    xhat2 = (y1 - mu2) * inv2
+
+    # ---- node-path backward ---------------------------------------------
+    gh = gh_ref[...].astype(f32)  # (t, f) = d h_out
+    dg2_ref[...] += jnp.sum(gh * xhat2, axis=0, keepdims=True)
+    dbe2_ref[...] += jnp.sum(gh, axis=0, keepdims=True)
+    dy1 = _ln_bwd(gh, xhat2, inv2, g2_ref[...].astype(f32))
+    dy1c = dy1.astype(cdt)
+    dwn2_ref[...] += _dot_g(r2c, dy1c)
+    dbn2_ref[...] += jnp.sum(dy1, axis=0, keepdims=True)
+    dnf = _dot_t(dy1c, wn2_ref[...]) * (r2 > 0.0).astype(f32)
+    dnfc = dnf.astype(cdt)
+    dwnh_ref[...] += _dot_g(h_in, dnfc)
+    dwna_ref[...] += _dot_g(aggc, dnfc)
+    dbn1_ref[...] += jnp.sum(dnf, axis=0, keepdims=True)
+    dh_ref[...] = (gh + _dot_t(dnfc, wnh_ref[...])).astype(dh_ref.dtype)
+    dagg = _dot_t(dnfc, wna_ref[...])  # (t, f) f32
+
+    # ---- edge-path backward ---------------------------------------------
+    ge = ge_ref[...].astype(f32).reshape(t, k, f)  # d e_out
+    dm = (ge + dagg[:, None, :] * maskf[..., None]).reshape(t * k, f)
+    dg1_ref[...] += jnp.sum(dm * xhat1, axis=0, keepdims=True)
+    dbe1_ref[...] += jnp.sum(dm, axis=0, keepdims=True)
+    dx1 = _ln_bwd(dm, xhat1, inv1, g1)
+    dx1c = dx1.astype(cdt)
+    dw2_ref[...] += _dot_g(r1c, dx1c)
+    db2_ref[...] += jnp.sum(dx1, axis=0, keepdims=True)
+    dfirst = _dot_t(dx1c, w2_ref[...]) * (r1 > 0.0).astype(f32)
+    dfirstc = dfirst.astype(cdt)
+    dw_e_ref[...] += _dot_g(e2, dfirstc)
+    db1_ref[...] += jnp.sum(dfirst, axis=0, keepdims=True)
+    de_ref[...] = (
+        ge.reshape(t * k, f) + _dot_t(dfirstc, w_e_ref[...])
+    ).astype(cdt).reshape(t, k, f)
+    dhs_ref[...] = dfirstc.reshape(t, k, f).astype(dhs_ref.dtype)
+    dhr_ref[...] = (
+        jnp.sum(dfirst.reshape(t, k, f), axis=1).astype(dhr_ref.dtype)
+    )
+
+
+def _gns_mp_step_bwd_pallas(e, hs_gath, hr_proj, h, mask, p, cotangents,
+                            interpret, tile: int = 64):
+    """Pallas backward launch; returns (de, dhs, dhr, dh, dp)."""
+    ge, gh = cotangents
+    n, k, f = e.shape
+    tile = min(tile, n)
+    if n % tile:
+        for cand in range(min(tile * 2, 128), 7, -8):
+            if n % cand == 0:
+                tile = cand
+                break
+    n_pad = -n % tile
+    if n_pad:
+        pad3 = ((0, n_pad), (0, 0), (0, 0))
+        pad2 = ((0, n_pad), (0, 0))
+        e = jnp.pad(e, pad3)
+        hs_gath = jnp.pad(hs_gath, pad3)
+        ge = jnp.pad(ge, pad3)
+        hr_proj = jnp.pad(hr_proj, pad2)
+        h = jnp.pad(h, pad2)
+        gh = jnp.pad(gh, pad2)
+        mask = jnp.pad(mask, pad2)
+    n_tiles = (n + n_pad) // tile
+
+    cdt = e.dtype
+    params = [
+        p["w_e"].astype(cdt), p["b1"].reshape(1, f).astype(jnp.float32),
+        p["w2"].astype(cdt), p["b2"].reshape(1, f).astype(jnp.float32),
+        p["ln1_scale"].reshape(1, f).astype(jnp.float32),
+        p["ln1_bias"].reshape(1, f).astype(jnp.float32),
+        p["w_nh"].astype(cdt), p["w_na"].astype(cdt),
+        p["bn1"].reshape(1, f).astype(jnp.float32),
+        p["wn2"].astype(cdt), p["bn2"].reshape(1, f).astype(jnp.float32),
+        p["ln2_scale"].reshape(1, f).astype(jnp.float32),
+        p["ln2_bias"].reshape(1, f).astype(jnp.float32),
+    ]
+
+    tile_spec3 = pl.BlockSpec(
+        (tile, k, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    tile_spec2 = pl.BlockSpec(
+        (tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    mask_spec = pl.BlockSpec(
+        (tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    def full_spec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    def acc_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    acc_shapes = {
+        "w_e": (f, f), "b1": (1, f), "w2": (f, f), "b2": (1, f),
+        "ln1_scale": (1, f), "ln1_bias": (1, f),
+        "w_nh": (f, f), "w_na": (f, f), "bn1": (1, f),
+        "wn2": (f, f), "bn2": (1, f), "ln2_scale": (1, f),
+        "ln2_bias": (1, f),
+    }
+
+    outs = pl.pallas_call(
+        _fused_bwd_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            tile_spec3, tile_spec3, tile_spec2, tile_spec2, mask_spec,
+            tile_spec3, tile_spec2,
+        ]
+        + [full_spec(q) for q in params],
+        out_specs=[tile_spec3, tile_spec3, tile_spec2, tile_spec2]
+        + [acc_spec(acc_shapes[name]) for name in _BWD_PARAM_ORDER],
+        out_shape=[
+            jax.ShapeDtypeStruct(e.shape, cdt),
+            jax.ShapeDtypeStruct(hs_gath.shape, hs_gath.dtype),
+            jax.ShapeDtypeStruct(hr_proj.shape, hr_proj.dtype),
+            jax.ShapeDtypeStruct(h.shape, h.dtype),
+        ]
+        + [
+            jax.ShapeDtypeStruct(acc_shapes[name], jnp.float32)
+            for name in _BWD_PARAM_ORDER
+        ],
+        interpret=interpret,
+    )(e, hs_gath, hr_proj, h, mask, ge, gh, *params)
+
+    de, dhs, dhr, dh = outs[:4]
+    if n_pad:
+        de, dhs, dhr, dh = de[:n], dhs[:n], dhr[:n], dh[:n]
+    dp = {
+        name: grad.reshape(p[name].shape).astype(p[name].dtype)
+        for name, grad in zip(_BWD_PARAM_ORDER, outs[4:])
+    }
+    # the node-level sender/receiver projections differentiate outside the
+    # kernel (their inputs are node-level matmuls in XLA)
+    dp["w_s"] = jnp.zeros_like(p["w_s"])
+    dp["w_r"] = jnp.zeros_like(p["w_r"])
+    return de, dhs, dhr, dh, dp
 
 
 def _gns_mp_step_pallas(e, hs_gath, hr_proj, h, mask, p, tile, interpret):

@@ -178,7 +178,11 @@ def test_fused_kernel_gradients_match_reference():
         )
     )
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+        # f32 accumulation order differs between the fused backward kernel
+        # and XLA autodiff; agreement is to relative rounding noise
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-4
+        )
 
 
 def test_fused_gns_trains():
