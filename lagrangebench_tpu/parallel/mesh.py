@@ -7,8 +7,8 @@ parameters and optimizer state replicate. Gradient reduction then lowers to a
 single ICI ``psum`` emitted by XLA from the sharding annotations — no
 explicit collectives in user code.
 
-Spatial (particle-axis) sharding with halo exchange is the planned follow-up
-for >100k-particle scaling and will live here as well.
+Spatial (particle-axis) sharding with halo exchange for >100k-particle
+scaling lives in ``parallel.spatial``.
 """
 
 from __future__ import annotations
@@ -52,23 +52,48 @@ def shard_batch(pytree, mesh: Optional[Mesh]):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), pytree)
 
 
+# environment markers that indicate a multi-host launch (TPU pod runtime,
+# explicit coordinator, or a cluster scheduler jax knows how to auto-detect)
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "SLURM_JOB_NUM_NODES",
+)
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    initialization_timeout: int = 300,
 ) -> int:
     """Initialize multi-host execution (DCN across slices).
 
-    On TPU pods the arguments are discovered from the environment; returns
-    the local process index. Safe to call when already initialized or when
-    running single-process (no-op).
+    Idempotent and single-process-safe by construction — NOT by swallowing
+    errors: if this process is already initialized or no multi-host launch
+    is indicated (no explicit arguments and no cluster environment), the
+    call is a deliberate no-op. If a multi-host launch IS requested,
+    initialization failures propagate — a training job silently falling
+    back to single-host is worse than a crash.
+
+    Returns the local process index.
     """
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (RuntimeError, ValueError):
-        pass  # single-process or already initialized
+    if jax.distributed.is_initialized():
+        return jax.process_index()
+
+    explicit = coordinator_address is not None or num_processes is not None
+    import os
+
+    cluster_env = any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
+    if not explicit and not cluster_env:
+        return jax.process_index()  # single-process run
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        initialization_timeout=initialization_timeout,
+    )
     return jax.process_index()

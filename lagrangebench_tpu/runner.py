@@ -90,6 +90,11 @@ def train_or_infer(cfg: Config):
     )
 
     mesh = None
+    if cfg.parallel.data != 1:
+        # multi-host (DCN) init: no-op unless a cluster launch is indicated
+        from .parallel import init_distributed
+
+        init_distributed()
     if cfg.parallel.data != 1 and len(jax.devices()) > 1:
         # mesh size must divide the batch; pick the largest divisor that fits
         n_req = len(jax.devices()) if cfg.parallel.data == -1 else cfg.parallel.data

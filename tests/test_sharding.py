@@ -159,3 +159,57 @@ def test_mesh_batched_rollout_matches_single_device(tmp_path):
                 np.asarray(m_single[k][name]),
                 rtol=1e-5, atol=1e-7,
             )
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    """No explicit args + no cluster env -> no initialize call, index 0."""
+    import jax
+
+    from lagrangebench_tpu.parallel import init_distributed
+    from lagrangebench_tpu.parallel import mesh as mesh_mod
+
+    for var in mesh_mod._CLUSTER_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: called.append(kw),
+    )
+    assert init_distributed() == jax.process_index()
+    assert not called
+
+
+def test_init_distributed_propagates_failures(monkeypatch):
+    """Explicit multi-host args must NOT be silently swallowed."""
+    import jax
+    import pytest
+
+    from lagrangebench_tpu.parallel import init_distributed
+
+    def boom(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        init_distributed(
+            coordinator_address="127.0.0.1:1",
+            num_processes=2,
+            process_id=1,
+            initialization_timeout=1,
+        )
+
+
+def test_init_distributed_idempotent(monkeypatch):
+    """Already-initialized processes return immediately."""
+    import jax
+
+    from lagrangebench_tpu.parallel import init_distributed
+
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: called.append(kw)
+    )
+    assert init_distributed(coordinator_address="x:1") == jax.process_index()
+    assert not called
