@@ -18,52 +18,97 @@ sum(C^2) = 2*l3 + 1, which keeps unit-variance inputs at unit variance.
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 from typing import Callable, List
 
 import numpy as np
 
-MAX_L = 3
+#: soft cap: the general associated-Legendre construction is exact for any
+#: l, but float64 factorial ratios degrade beyond ~l=10
+MAX_L = 8
+
+
+@lru_cache(maxsize=None)
+def _assoc_legendre_q(l: int, m: int) -> tuple:
+    """Coefficients (ascending powers of z) of Q_{l,m}.
+
+    P_l^m(z) = (1 - z^2)^{m/2} * Q_{l,m}(z) WITHOUT the Condon-Shortley
+    phase; computed by the standard recurrence in exact polynomial
+    arithmetic.
+    """
+    assert 0 <= m <= l
+
+    def shift(c):  # multiply by z
+        return np.concatenate([[0.0], c])
+
+    q_mm = np.asarray([float(np.prod(np.arange(1, 2 * m, 2)))])  # (2m-1)!!
+    if l == m:
+        return tuple(q_mm)
+    q_prev, q = q_mm, (2 * m + 1) * shift(q_mm)
+    for ll in range(m + 2, l + 1):
+        q_next = (
+            (2 * ll - 1) * shift(q)
+            - (ll + m - 1) * np.pad(q_prev, (0, 2))
+        ) / (ll - m)
+        q_prev, q = q, q_next
+    return tuple(q)
+
+
+@lru_cache(maxsize=None)
+def _real_sh_terms(l: int) -> tuple:
+    """Per-component (m, K, q_coeffs) for the degree-l real harmonics.
+
+    Standard real basis, m ordered -l..l: sin(|m| phi) branches for m < 0,
+    cos(m phi) for m > 0, both as Re/Im[(x+iy)^|m|] on the unit sphere;
+    orthonormal w.r.t. the sphere measure (integral normalization).
+    """
+    terms = []
+    for m in range(-l, l + 1):
+        am = abs(m)
+        K = math.sqrt(
+            (2 * l + 1)
+            / (4 * math.pi)
+            * math.factorial(l - am)
+            / math.factorial(l + am)
+        )
+        if m != 0:
+            K *= math.sqrt(2.0)
+        terms.append((m, K, _assoc_legendre_q(l, am)))
+    return tuple(terms)
 
 
 def _basis_polynomials(l: int) -> List[Callable[[np.ndarray], np.ndarray]]:
     """Real orthonormal spherical harmonics (as functions of unit vectors).
 
-    Conventions: l=1 ordered (x, y, z); l=2 ordered
-    [xy, yz, (3z^2-1), xz, (x^2-y^2)]; l=3 in an analogous real basis.
+    Conventions: l=1 ordered (x, y, z) — a fixed permutation of the
+    standard real basis kept for backwards compatibility of this engine's
+    irreps layout; every other degree uses the standard real basis in
+    m = -l..l order (which reproduces the original hand-written l=2/l=3
+    lists exactly — pinned by tests).
     """
     c = 1.0 / np.sqrt(4 * np.pi)
     if l == 0:
         return [lambda v: c * np.ones(v.shape[:-1])]
-    x = lambda v: v[..., 0]
-    y = lambda v: v[..., 1]
-    z = lambda v: v[..., 2]
     if l == 1:
         k = np.sqrt(3) * c
-        return [lambda v: k * x(v), lambda v: k * y(v), lambda v: k * z(v)]
-    if l == 2:
-        k1 = np.sqrt(15) * c
-        k2 = np.sqrt(5) / 2 * c
-        k3 = np.sqrt(15) / 2 * c
         return [
-            lambda v: k1 * x(v) * y(v),
-            lambda v: k1 * y(v) * z(v),
-            lambda v: k2 * (3 * z(v) ** 2 - 1),
-            lambda v: k1 * x(v) * z(v),
-            lambda v: k3 * (x(v) ** 2 - y(v) ** 2),
+            lambda v: k * v[..., 0],
+            lambda v: k * v[..., 1],
+            lambda v: k * v[..., 2],
         ]
-    if l == 3:
-        k = c
-        return [
-            lambda v: k * np.sqrt(35 / 8) * y(v) * (3 * x(v) ** 2 - y(v) ** 2),
-            lambda v: k * np.sqrt(105) * x(v) * y(v) * z(v),
-            lambda v: k * np.sqrt(21 / 8) * y(v) * (5 * z(v) ** 2 - 1),
-            lambda v: k * np.sqrt(7) / 2 * z(v) * (5 * z(v) ** 2 - 3),
-            lambda v: k * np.sqrt(21 / 8) * x(v) * (5 * z(v) ** 2 - 1),
-            lambda v: k * np.sqrt(105) / 2 * z(v) * (x(v) ** 2 - y(v) ** 2),
-            lambda v: k * np.sqrt(35 / 8) * x(v) * (x(v) ** 2 - 3 * y(v) ** 2),
-        ]
-    raise NotImplementedError(f"l={l} > MAX_L={MAX_L}")
+
+    def make(m, K, q):
+        def f(v):
+            x, y, z = v[..., 0], v[..., 1], v[..., 2]
+            cplx = (x + 1j * y) ** abs(m)
+            A = np.real(cplx) if m >= 0 else np.imag(cplx)
+            Q = sum(coef * z**k for k, coef in enumerate(q))
+            return K * A * Q
+
+        return f
+
+    return [make(m, K, q) for m, K, q in _real_sh_terms(l)]
 
 
 @lru_cache(maxsize=None)
@@ -175,23 +220,31 @@ def spherical_harmonics_fn(lmax: int):
         sq = jnp.sum(x**2, axis=-1, keepdims=True)
         n = x / jnp.sqrt(jnp.where(sq == 0.0, 1.0, sq))
         xx, yy, zz = n[..., 0], n[..., 1], n[..., 2]
+        # zero input has no direction: all l > 0 components must vanish or
+        # the constant m=0 terms (Q_l(0) != 0 for even l) break equivariance
+        # on self-edges; the guarded "direction" (0,0,0) already zeroes
+        # every component with an x/y/z factor, this handles the rest
+        nonzero = (sq[..., 0] > 0.0).astype(x.dtype)
         comps = [c * jnp.ones_like(xx)]
         if lmax >= 1:
             k = np.sqrt(3) * c
             comps += [k * xx, k * yy, k * zz]
         if lmax >= 2:
-            k1 = np.sqrt(15) * c
-            k2 = np.sqrt(5) / 2 * c
-            k3 = np.sqrt(15) / 2 * c
-            comps += [
-                k1 * xx * yy,
-                k1 * yy * zz,
-                k2 * (3 * zz**2 - 1),
-                k1 * xx * zz,
-                k3 * (xx**2 - yy**2),
-            ]
-        if lmax >= 3:
-            raise NotImplementedError("spherical harmonics beyond l=2")
+            # Re/Im[(x+iy)^m] via the Chebyshev-style recurrence:
+            # re_{m+1} = re_m*x - im_m*y ; im_{m+1} = im_m*x + re_m*y
+            re = {0: jnp.ones_like(xx), 1: xx}
+            im = {0: jnp.zeros_like(xx), 1: yy}
+            for m in range(2, lmax + 1):
+                re[m] = re[m - 1] * xx - im[m - 1] * yy
+                im[m] = im[m - 1] * xx + re[m - 1] * yy
+            zpow = {0: jnp.ones_like(zz), 1: zz}
+            for p in range(2, lmax + 1):
+                zpow[p] = zpow[p - 1] * zz
+            for l in range(2, lmax + 1):
+                for m, K, q in _real_sh_terms(l):
+                    A = re[abs(m)] if m >= 0 else im[abs(m)]
+                    Q = sum(coef * zpow[k] for k, coef in enumerate(q))
+                    comps.append(K * A * Q * nonzero)
         return jnp.stack(comps, axis=-1)
 
     return sh

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..utils import matmul_precision
 from .basis import clebsch_gordan
 from .irreps import Irrep, Irreps, IrrepsArray, MulIrrep
 
@@ -77,6 +78,7 @@ class O3TensorProduct(nn.Module):
                 continue
 
             cdt = jnp.dtype(self.compute_dtype)
+            prec = matmul_precision(cdt)
             alpha = 1.0 / np.sqrt(fan_in)
             tps = []
             ws = []
@@ -103,12 +105,14 @@ class O3TensorProduct(nn.Module):
                         ay[..., 0].astype(cdt),
                         C,
                         preferred_element_type=jnp.float32,
+                        precision=prec,
                     )
                     tp = jnp.einsum(
                         "...mu,...mp->...pu",
                         ax.astype(cdt),
                         T.astype(cdt),
                         preferred_element_type=jnp.float32,
+                        precision=prec,
                     )  # (..., p, u): channel order u (v == 1)
                 else:
                     tp = jnp.einsum(
@@ -117,6 +121,7 @@ class O3TensorProduct(nn.Module):
                         ay.astype(cdt),
                         C,
                         preferred_element_type=jnp.float32,
+                        precision=prec,
                     )
                     tp = tp.reshape(
                         tp.shape[:-2] + (gx.mul * gy.mul,)
@@ -133,6 +138,7 @@ class O3TensorProduct(nn.Module):
                 tp_all.astype(cdt),
                 w_all.astype(cdt),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             )
 
             out = out * alpha

@@ -19,7 +19,7 @@ from flax import linen as nn
 from ..ops.scatter import aggregate_to_receivers, segment_sum
 from ..utils import NodeType
 from .base import BaseModel, Sample
-from .utils import MLPXav
+from .utils import MLPXav, matmul_precision
 
 
 def _small_uniform(scale: float):
@@ -44,6 +44,7 @@ class EGNNLayer(nn.Module):
     tanh: bool = False
     dt: float = 0.001
     eps: float = 1e-8
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(
@@ -73,11 +74,15 @@ class EGNNLayer(nn.Module):
             [self.hidden_size] * self.blocks + [self.hidden_size],
             activation=self.act_fn,
             activate_final=True,
+            dtype=self.dtype,
         )(jnp.concatenate(msg_in, axis=-1))
         if self.attention:
             att = nn.sigmoid(
                 nn.Dense(
-                    self.hidden_size, kernel_init=nn.initializers.xavier_uniform()
+                    self.hidden_size,
+                    kernel_init=nn.initializers.xavier_uniform(),
+                    dtype=self.dtype,
+                    precision=matmul_precision(self.dtype),
                 )(msg)
             )
             msg = msg * att
@@ -91,29 +96,37 @@ class EGNNLayer(nn.Module):
             [self.hidden_size] * self.blocks + [self.output_size],
             activation=self.act_fn,
             activate_final=False,
+            dtype=self.dtype,
         )(jnp.concatenate(upd_in, axis=-1))
         if self.residual:
-            h_new = h + h_new
+            h_new = (h + h_new).astype(h.dtype)
 
         # position correction from per-edge vectors, aggregated over senders
         def correction_head(x, name):
             for _ in range(self.blocks):
                 x = nn.Dense(
-                    self.hidden_size, kernel_init=nn.initializers.xavier_uniform()
+                    self.hidden_size,
+                    kernel_init=nn.initializers.xavier_uniform(),
+                    dtype=self.dtype,
+                    precision=matmul_precision(self.dtype),
                 )(x)
             x = self.act_fn(x)
             x = nn.Dense(
-                1, use_bias=False, kernel_init=_small_uniform(self.dt)
+                1, use_bias=False, kernel_init=_small_uniform(self.dt),
+                dtype=self.dtype,
+                precision=matmul_precision(self.dtype),
             )(x)
             if name == "pos" and self.tanh:
                 x = nn.tanh(x)
             return x
 
-        trans = coord_diff * correction_head(msg, "pos")
+        trans = coord_diff * correction_head(msg, "pos").astype(pos.dtype)
         pos_update = segment_sum(trans, senders, num_segments=n)
         pos = self.shift_fn(pos, pos_update)
         # velocity integration term
-        pos = self.shift_fn(pos, correction_head(h_new, "vel") * vel)
+        pos = self.shift_fn(
+            pos, correction_head(h_new, "vel").astype(pos.dtype) * vel
+        )
 
         return h_new, pos
 
@@ -141,6 +154,7 @@ class EGNN(BaseModel):
     attention: bool = False
     normalize: bool = False
     tanh: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, sample: Sample) -> Dict[str, jnp.ndarray]:
@@ -163,8 +177,12 @@ class EGNN(BaseModel):
             onehot = jax.nn.one_hot(particle_type, NodeType.SIZE)
             node_scalars = jnp.concatenate([node_scalars, onehot], axis=-1)
 
+        dtype = jnp.dtype(self.compute_dtype)
         h = nn.Dense(
-            self.hidden_size, kernel_init=nn.initializers.xavier_uniform()
+            self.hidden_size,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=dtype,
+            precision=matmul_precision(dtype),
         )(node_scalars)
 
         disp_vmap = jax.vmap(self.displacement_fn, in_axes=(0, 0))
@@ -190,6 +208,7 @@ class EGNN(BaseModel):
                 normalize=self.normalize,
                 tanh=self.tanh,
                 dt=self.dt / self.num_mp_steps,
+                dtype=dtype,
             )(h, next_pos, prev_vel, senders, receivers, edge_attr, node_attr)
 
         # finite differences back to vel/acc
@@ -224,4 +243,5 @@ def build_egnn(cfg_model, metadata, velocity_stats=None):
         velocity_stats=velocity_stats,
         num_mp_steps=cfg_model.num_mp_steps,
         residual=True,
+        compute_dtype=cfg_model.get("compute_dtype", "float32"),
     )

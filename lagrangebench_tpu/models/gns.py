@@ -24,7 +24,12 @@ from flax import linen as nn
 from ..ops.scatter import aggregate_to_receivers
 from ..utils import NodeType
 from .base import BaseModel, Sample
-from .utils import MLP, concat_edge_features, concat_node_features
+from .utils import (
+    MLP,
+    concat_edge_features,
+    concat_node_features,
+    matmul_precision,
+)
 
 
 class GNS(BaseModel):
@@ -113,11 +118,14 @@ class GNS(BaseModel):
                     )
                     for name in fused_mp.PARAM_NAMES
                 }
+                prec = matmul_precision(dtype)
                 hs_proj = jnp.dot(
-                    h, p["w_s"].astype(dtype), preferred_element_type=dtype
+                    h, p["w_s"].astype(dtype), preferred_element_type=dtype,
+                    precision=prec,
                 )
                 hr_proj = jnp.dot(
-                    h, p["w_r"].astype(dtype), preferred_element_type=dtype
+                    h, p["w_r"].astype(dtype), preferred_element_type=dtype,
+                    precision=prec,
                 )
                 e, h = fused_mp.gns_mp_step(
                     e, hs_proj[senders], hr_proj, h, mask, p
@@ -135,9 +143,16 @@ class GNS(BaseModel):
         # receiver term is a pure broadcast instead of a gather.
         for _ in range(self.num_mp_steps):
             if self.blocks_per_step > 1:
-                hs_proj = nn.Dense(self.latent_size, use_bias=False, dtype=dtype)(h)
-                hr_proj = nn.Dense(self.latent_size, use_bias=False, dtype=dtype)(h)
-                e_proj = nn.Dense(self.latent_size, dtype=dtype)(e)
+                prec = matmul_precision(dtype)
+                hs_proj = nn.Dense(
+                    self.latent_size, use_bias=False, dtype=dtype,
+                    precision=prec,
+                )(h)
+                hr_proj = nn.Dense(
+                    self.latent_size, use_bias=False, dtype=dtype,
+                    precision=prec,
+                )(h)
+                e_proj = nn.Dense(self.latent_size, dtype=dtype, precision=prec)(e)
                 if dense_edges:
                     first = e_proj + hs_proj[senders] + hr_proj[:, None, :]
                 else:

@@ -22,4 +22,4 @@ class Linear(BaseModel):
     def __call__(self, sample: Sample) -> Dict:
         features, _ = sample
         nodes = concat_node_features(features)
-        return {"acc": nn.Dense(self.dimension_out)(nodes)}
+        return {"acc": nn.Dense(self.dimension_out, precision="highest")(nodes)}

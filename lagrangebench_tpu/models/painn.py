@@ -65,20 +65,26 @@ class GatedEquivariantBlock(nn.Module):
     activation: Callable = nn.silu
     scalar_activation: Callable = None
     eps: float = 1e-8
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, s: jnp.ndarray, v: jnp.ndarray):
         v_l, v_r = jnp.split(
-            LinearXav(2 * self.vector_out_channels, use_bias=False)(v), 2, axis=-1
+            LinearXav(
+                2 * self.vector_out_channels, use_bias=False, dtype=self.dtype
+            )(v),
+            2,
+            axis=-1,
         )
         v_r_norm = jnp.sqrt(jnp.sum(v_r**2, axis=-2) + self.eps)
 
         gating = jnp.concatenate([s, v_r_norm], axis=-1)
-        gating = LinearXav(self.hidden_size)(gating)
+        gating = LinearXav(self.hidden_size, dtype=self.dtype)(gating)
         gating = self.activation(gating)
-        gating = LinearXav(self.scalar_out_channels + self.vector_out_channels)(
-            gating
-        )
+        gating = LinearXav(
+            self.scalar_out_channels + self.vector_out_channels,
+            dtype=self.dtype,
+        )(gating)
         s_out = gating[..., : self.scalar_out_channels]
         v_gate = gating[..., self.scalar_out_channels :]
 
@@ -256,6 +262,7 @@ class PaiNN(BaseModel):
             vector_out_channels=width,
             activation=self.activation,
             eps=self.eps,
+            dtype=cdt,
         )(s, v)
         s, v = GatedEquivariantBlock(
             hidden_size=width,
@@ -263,6 +270,7 @@ class PaiNN(BaseModel):
             vector_out_channels=self.output_size,
             activation=self.activation,
             eps=self.eps,
+            dtype=cdt,
         )(s, v)
 
         return {"acc": jnp.squeeze(v, axis=-1).astype(jnp.float32)}

@@ -8,6 +8,20 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def matmul_precision(dtype) -> Optional[str]:
+    """Explicit matmul precision for the given compute dtype.
+
+    XLA's DEFAULT precision truncates float32 matmul operands to bfloat16
+    on the TPU MXU (and on some CPU einsum lowerings) — measured error
+    ~1e-1 on a 128-dim float32 dot. Models that advertise float32 compute
+    (the parity mode for reference checkpoints) must therefore request
+    "highest" explicitly; bfloat16 compute keeps the fast default.
+    """
+    if dtype is None or jnp.dtype(dtype) != jnp.bfloat16:
+        return "highest"
+    return None
+
+
 class MLP(nn.Module):
     """Plain MLP, optionally LayerNorm-terminated.
 
@@ -31,7 +45,9 @@ class MLP(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         widths = [self.latent_size] * (self.num_hidden_layers - 1) + [self.output_size]
         for i, w in enumerate(widths):
-            x = nn.Dense(w, dtype=self.dtype)(x)
+            x = nn.Dense(
+                w, dtype=self.dtype, precision=matmul_precision(self.dtype)
+            )(x)
             if i < len(widths) - 1:
                 x = self.activation(x)
         if self.is_layer_norm:
@@ -59,6 +75,7 @@ class MLPXav(nn.Module):
                 use_bias=self.use_bias,
                 kernel_init=nn.initializers.xavier_uniform(),
                 dtype=self.dtype,
+                precision=matmul_precision(self.dtype),
             )(x)
             if i < len(self.output_sizes) - 1 or self.activate_final:
                 x = self.activation(x)
@@ -79,6 +96,7 @@ class LinearXav(nn.Module):
             use_bias=self.use_bias,
             kernel_init=nn.initializers.xavier_uniform(),
             dtype=self.dtype,
+            precision=matmul_precision(self.dtype),
         )(x)
 
 
@@ -106,11 +124,10 @@ def features_2d_to_3d(features: dict) -> dict:
         ],
         axis=-1,
     ).reshape(n_nodes, -1)
+    # rel_disp is (E, 2) for sparse edges or (N, K, 2) for the dense layout
+    rel_disp = features["rel_disp"]
     out["rel_disp"] = jnp.concatenate(
-        [
-            features["rel_disp"],
-            jnp.zeros((features["rel_disp"].shape[0], 1), features["rel_disp"].dtype),
-        ],
+        [rel_disp, jnp.zeros(rel_disp.shape[:-1] + (1,), rel_disp.dtype)],
         axis=-1,
     )
     if "force" in features:

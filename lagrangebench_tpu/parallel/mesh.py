@@ -52,15 +52,32 @@ def shard_batch(pytree, mesh: Optional[Mesh]):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), pytree)
 
 
-# environment markers that indicate a multi-host launch (TPU pod runtime,
-# explicit coordinator, or a cluster scheduler jax knows how to auto-detect)
-_CLUSTER_ENV_VARS = (
+# explicit-coordinator markers that indicate a multi-host launch
+_COORDINATOR_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",
-    "TPU_WORKER_HOSTNAMES",
-    "SLURM_JOB_NUM_NODES",
 )
+
+
+def _multihost_indicated() -> bool:
+    """True when the environment describes a genuine multi-host launch.
+
+    Single-host TPU runtimes commonly set ``TPU_WORKER_HOSTNAMES=localhost``;
+    only a worker list with more than one entry (or an explicit coordinator
+    address / multi-node SLURM job) counts.
+    """
+    import os
+
+    if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    try:
+        return int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1
+    except ValueError:
+        return False
 
 
 def init_distributed(
@@ -84,10 +101,7 @@ def init_distributed(
         return jax.process_index()
 
     explicit = coordinator_address is not None or num_processes is not None
-    import os
-
-    cluster_env = any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
-    if not explicit and not cluster_env:
+    if not explicit and not _multihost_indicated():
         return jax.process_index()  # single-process run
 
     jax.distributed.initialize(

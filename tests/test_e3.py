@@ -127,3 +127,78 @@ def test_tensor_product_linear_mode():
     out = mod.apply(params, x)
     assert out.array.shape == (4, 5)
     assert np.isfinite(np.asarray(out.array)).all()
+
+
+def test_general_basis_matches_legacy_l2_l3():
+    """The associated-Legendre construction reproduces the original
+    hand-written l=2 / l=3 polynomial lists bit-for-bit in convention."""
+    from lagrangebench_tpu.models.e3.basis import _basis_polynomials
+
+    c = 1.0 / np.sqrt(4 * np.pi)
+    v = np.random.default_rng(11).normal(size=(64, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+
+    legacy_l2 = [
+        np.sqrt(15) * c * x * y,
+        np.sqrt(15) * c * y * z,
+        np.sqrt(5) / 2 * c * (3 * z**2 - 1),
+        np.sqrt(15) * c * x * z,
+        np.sqrt(15) / 2 * c * (x**2 - y**2),
+    ]
+    legacy_l3 = [
+        c * np.sqrt(35 / 8) * y * (3 * x**2 - y**2),
+        c * np.sqrt(105) * x * y * z,
+        c * np.sqrt(21 / 8) * y * (5 * z**2 - 1),
+        c * np.sqrt(7) / 2 * z * (5 * z**2 - 3),
+        c * np.sqrt(21 / 8) * x * (5 * z**2 - 1),
+        c * np.sqrt(105) / 2 * z * (x**2 - y**2),
+        c * np.sqrt(35 / 8) * x * (x**2 - 3 * y**2),
+    ]
+    for l, legacy in ((2, legacy_l2), (3, legacy_l3)):
+        got = [f(v) for f in _basis_polynomials(l)]
+        for g, want in zip(got, legacy):
+            np.testing.assert_allclose(g, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("l", [4, 5])
+def test_high_l_basis_orthonormal_and_equivariant(l):
+    """Degree-l harmonics: orthonormal on the sphere, rotation-covariant."""
+    from lagrangebench_tpu.models.e3.basis import _eval_basis
+
+    # Gram matrix over many uniform sphere points -> (4 pi / n) A^T A = I
+    rng = np.random.default_rng(13)
+    v = rng.normal(size=(200_000, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    A = _eval_basis(l, v)
+    gram = 4 * np.pi / v.shape[0] * (A.T @ A)
+    np.testing.assert_allclose(gram, np.eye(2 * l + 1), atol=2e-2)
+
+    # wigner_d asserts D orthogonal internally (exact equivariance check)
+    D = wigner_d(l, random_rotation(3))
+    assert D.shape == (2 * l + 1, 2 * l + 1)
+
+
+@pytest.mark.parametrize("l1,l2,l3", [(3, 1, 4), (4, 1, 4), (3, 2, 5)])
+def test_high_l_cg_equivariance(l1, l2, l3):
+    C = clebsch_gordan(l1, l2, l3)
+    R = random_rotation(9)
+    D1, D2, D3 = wigner_d(l1, R), wigner_d(l2, R), wigner_d(l3, R)
+    lhs = np.einsum("pa,qb,pqc->abc", D1, D2, C)
+    rhs = np.einsum("cd,abd->abc", D3, C)
+    np.testing.assert_allclose(lhs, rhs, atol=1e-8)
+
+
+def test_jax_spherical_harmonics_high_l_matches_numpy():
+    sh = spherical_harmonics_fn(5)
+    rng = np.random.default_rng(17)
+    v = rng.normal(size=(32, 3))
+    vn = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    got = np.asarray(sh(jnp.asarray(v)))
+    from lagrangebench_tpu.models.e3.basis import _eval_basis
+
+    for l in range(6):
+        sl = slice(l * l, (l + 1) * (l + 1))
+        np.testing.assert_allclose(
+            got[:, sl], _eval_basis(l, vn), atol=1e-5
+        )

@@ -89,3 +89,27 @@ def test_linear_forward():
     params, state = init(jax.random.PRNGKey(0), (features, ptype))
     out, _ = apply(params, state, (features, ptype))
     assert out["acc"].shape == (24, 2)
+
+
+def test_features_2d_to_3d_dense_layout():
+    """The 2D->3D lift must handle both sparse (E, 2) and dense (N, K, 2)
+    rel_disp layouts (SEGNN on 2D datasets defaults to dense)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lagrangebench_tpu.models.utils import features_2d_to_3d
+
+    rng = np.random.default_rng(0)
+    base = {
+        "vel_hist": jnp.asarray(rng.normal(size=(5, 6)), jnp.float32),
+        "rel_dist": jnp.asarray(rng.uniform(size=(5, 4, 1)), jnp.float32),
+    }
+    dense = dict(base, rel_disp=jnp.asarray(rng.normal(size=(5, 4, 2)), jnp.float32))
+    out = features_2d_to_3d(dense)
+    assert out["rel_disp"].shape == (5, 4, 3)
+    assert np.allclose(np.asarray(out["rel_disp"][..., 2]), 0.0)
+
+    sparse = dict(base, rel_disp=jnp.asarray(rng.normal(size=(20, 2)), jnp.float32))
+    out = features_2d_to_3d(sparse)
+    assert out["rel_disp"].shape == (20, 3)
+    assert out["vel_hist"].shape == (5, 9)

@@ -154,3 +154,50 @@ def test_forward_shapes(name, magnitudes, periodic):
     out, _ = apply(params, state, (features, jnp.asarray(ptype)))
     assert out["acc"].shape == (N, DIM)
     assert np.isfinite(np.asarray(out["acc"])).all()
+
+
+def test_segnn_high_lmax_equivariance():
+    """SEGNN at lmax_attributes=2 / lmax_hidden=2 (beyond the shipped
+    configs' lmax=1) stays rotation-equivariant end-to-end."""
+    features, ptype = dummy_sample(magnitudes=False)
+    cfg = Config(
+        {
+            "name": "segnn",
+            "input_seq_length": ISL,
+            "num_mp_steps": 2,
+            "num_mlp_layers": 2,
+            "latent_dim": 8,
+            "magnitude_features": False,
+            "isotropic_norm": False,
+            "lmax_attributes": 2,
+            "lmax_hidden": 2,
+            "segnn_norm": "none",
+            "velocity_aggregate": "avg",
+        }
+    )
+    stats = {
+        "velocity": {"mean": jnp.zeros(DIM), "std": jnp.ones(DIM)},
+        "acceleration": {"mean": jnp.zeros(DIM), "std": jnp.ones(DIM)},
+    }
+    metadata = dict(METADATA)
+    metadata["periodic_boundary_conditions"] = [True] * DIM
+    _, init, apply = setup_model(
+        cfg, metadata, normalization_stats=stats, homogeneous_particles=True
+    )
+
+    f32 = lambda d: {
+        k: jnp.asarray(v, jnp.float32 if v.dtype.kind == "f" else None)
+        for k, v in d.items()
+    }
+    features = f32(features)
+    params, state = init(jax.random.PRNGKey(0), (features, jnp.asarray(ptype)))
+    out0, _ = apply(params, state, (features, jnp.asarray(ptype)))
+
+    R = random_rotation(21)
+    features_rot = f32(rotate_features(jax.tree.map(np.asarray, features), R))
+    out1, _ = apply(params, state, (features_rot, jnp.asarray(ptype)))
+
+    D = wigner_d(1, R)
+    np.testing.assert_allclose(
+        np.asarray(out0["acc"]) @ D.T, np.asarray(out1["acc"]), atol=5e-5
+    )

@@ -168,7 +168,9 @@ def test_init_distributed_single_process_noop(monkeypatch):
     from lagrangebench_tpu.parallel import init_distributed
     from lagrangebench_tpu.parallel import mesh as mesh_mod
 
-    for var in mesh_mod._CLUSTER_ENV_VARS:
+    for var in mesh_mod._COORDINATOR_ENV_VARS + (
+        "TPU_WORKER_HOSTNAMES", "SLURM_JOB_NUM_NODES",
+    ):
         monkeypatch.delenv(var, raising=False)
 
     called = []
@@ -213,3 +215,26 @@ def test_init_distributed_idempotent(monkeypatch):
     )
     assert init_distributed(coordinator_address="x:1") == jax.process_index()
     assert not called
+
+
+def test_init_distributed_ignores_single_host_markers(monkeypatch):
+    """TPU_WORKER_HOSTNAMES=localhost (single host) must not trigger init."""
+    import jax
+
+    from lagrangebench_tpu.parallel import init_distributed
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: called.append(kw)
+    )
+    assert init_distributed() == jax.process_index()
+    assert not called
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    def boom(**kw):
+        raise RuntimeError("would initialize")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    import pytest
+    with pytest.raises(RuntimeError, match="would initialize"):
+        init_distributed()
