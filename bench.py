@@ -27,9 +27,15 @@ def run_bench(
     compute_dtype: str = "bfloat16",
     batch_size: int = 1,
     use_fused_processor: bool = True,
+    nl_multiplier: float = 1.25,
 ):
     """Single-chip rollout throughput; batch_size > 1 vmaps trajectories
-    (production rollouts are batched, reference eval default batch is 2)."""
+    (production rollouts are batched, reference eval default batch is 2).
+
+    ``nl_multiplier`` sizes the per-row edge capacity from the observed
+    max row count. 1.25 is needed at this density: the max neighbor count
+    rises from 19 to 21+ as the rollout evolves (tighter caps trip the
+    escalation retry and land on LARGER buffers)."""
     import jax as _jax
 
     if backend == "pallas" and _jax.default_backend() != "tpu":
@@ -49,6 +55,7 @@ def run_bench(
         nl_format=nl_format,
         compute_dtype=compute_dtype,
         use_fused_processor=use_fused_processor,
+        nl_multiplier=nl_multiplier,
     )
 
     pos = _grid_positions(n_particles, dim, 1.0, isl)

@@ -85,9 +85,9 @@ class GNS(BaseModel):
                 dtype=dtype,
             )
 
-        # encoder
+        # encoder (node side; the edge encoder is either a flax MLP on the
+        # standard path or folded into the first fused kernel)
         h = mlp(self.latent_size)(nodes)
-        e = mlp(self.latent_size)(edges)
 
         dense_edges = receivers.ndim == 2
 
@@ -97,6 +97,31 @@ class GNS(BaseModel):
                 "2-layer MLP blocks"
             )
             from ..ops import fused_mp
+
+            # edge-encoder params as flat arrays: the encoder MLP runs
+            # inside the first fused MP kernel (raw features never round-trip
+            # through HBM as (N, K, latent))
+            enc = {
+                name: self.param(
+                    name,
+                    (
+                        nn.initializers.lecun_normal()
+                        if name.startswith("enc_w")
+                        else (
+                            nn.initializers.ones_init()
+                            if "scale" in name
+                            else nn.initializers.zeros_init()
+                        )
+                    ),
+                    (edges.shape[-1], self.latent_size)
+                    if name == "enc_w1"
+                    else (self.latent_size, self.latent_size)
+                    if name == "enc_w2"
+                    else (self.latent_size,),
+                )
+                for name in fused_mp.ENC_PARAM_NAMES
+            }
+            e = edges  # raw; encoded by the first fused step
 
             mask = senders < n
             for step in range(self.num_mp_steps):
@@ -128,10 +153,13 @@ class GNS(BaseModel):
                     precision=prec,
                 )
                 e, h = fused_mp.gns_mp_step(
-                    e, hs_proj[senders], hr_proj, h, mask, p
+                    e, hs_proj[senders], hr_proj, h, mask, p,
+                    enc=enc if step == 0 else None,
                 )
             acc = mlp(self.particle_dimension, layer_norm=False)(h)
             return {"acc": acc.astype(jnp.float32)}
+
+        e = mlp(self.latent_size)(edges)
 
         # processor: residual message passing, fresh MLPs per step; edges
         # may be sparse (E, .) or dense (N, K, .) — aggregation dispatches.
@@ -184,8 +212,20 @@ def fused_params_from_standard(params: Dict, num_mp_steps: int) -> Dict:
     creation order); the fused processor uses flat per-step arrays. The
     mapping is purely a rename/split — the math is identical.
     """
-    out = {k: params[k] for k in ("Embed_0", "MLP_0", "MLP_1") if k in params}
+    out = {k: params[k] for k in ("Embed_0", "MLP_0") if k in params}
     latent = params["MLP_0"]["Dense_1"]["kernel"].shape[1]
+    # standard edge-encoder MLP -> flat in-kernel encoder params
+    enc_mlp = params["MLP_1"]
+    out.update(
+        {
+            "enc_w1": enc_mlp["Dense_0"]["kernel"],
+            "enc_b1": enc_mlp["Dense_0"]["bias"],
+            "enc_w2": enc_mlp["Dense_1"]["kernel"],
+            "enc_b2": enc_mlp["Dense_1"]["bias"],
+            "enc_ln_scale": enc_mlp["LayerNorm_0"]["scale"],
+            "enc_ln_bias": enc_mlp["LayerNorm_0"]["bias"],
+        }
+    )
     for i in range(num_mp_steps):
         d_hs = params[f"Dense_{3 * i}"]
         d_hr = params[f"Dense_{3 * i + 1}"]
@@ -212,6 +252,6 @@ def fused_params_from_standard(params: Dict, num_mp_steps: int) -> Dict:
                 f"mp{i}_ln2_bias": mlp_node["LayerNorm_0"]["bias"],
             }
         )
-    # decoder: next auto-named MLP in each variant
-    out["MLP_2"] = params[f"MLP_{2 + 2 * num_mp_steps}"]
+    # decoder: the fused variant's only auto-named MLP after the node encoder
+    out["MLP_1"] = params[f"MLP_{2 + 2 * num_mp_steps}"]
     return out

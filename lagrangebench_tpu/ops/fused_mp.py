@@ -43,15 +43,37 @@ def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps=1e-5):
     return y * scale + bias
 
 
+ENC_PARAM_NAMES = ("enc_w1", "enc_b1", "enc_w2", "enc_b2",
+                   "enc_ln_scale", "enc_ln_bias")
+
+
+def encode_edges_reference(raw: jnp.ndarray, enc: Dict[str, jnp.ndarray],
+                           cdt) -> jnp.ndarray:
+    """Edge-encoder MLP (2-layer + LayerNorm) on raw edge features.
+
+    Mirror of the in-kernel edge encoder: e = LN(relu(raw@W1+b1)@W2+b2).
+    """
+    f32 = jnp.float32
+    x = jnp.dot(raw.astype(cdt), enc["enc_w1"].astype(cdt),
+                preferred_element_type=f32) + enc["enc_b1"]
+    x = jnp.maximum(x, 0.0)
+    x = jnp.dot(x.astype(cdt), enc["enc_w2"].astype(cdt),
+                preferred_element_type=f32) + enc["enc_b2"]
+    return _layernorm(x, enc["enc_ln_scale"], enc["enc_ln_bias"]).astype(cdt)
+
+
 def gns_mp_step_reference(
-    e: jnp.ndarray,  # (N, K, F) edge latents
+    e: jnp.ndarray,  # (N, K, F) edge latents — or (N, K, Fe) raw if enc
     hs_gath: jnp.ndarray,  # (N, K, F) gathered sender projection
     hr_proj: jnp.ndarray,  # (N, F) receiver projection
     h: jnp.ndarray,  # (N, F) node latents
     mask: jnp.ndarray,  # (N, K) validity
     p: Dict[str, jnp.ndarray],
+    enc: Optional[Dict[str, jnp.ndarray]] = None,
 ):
     """Pure-jax mirror of the fused kernel (same math, same params)."""
+    if enc is not None:
+        e = encode_edges_reference(e, enc, hs_gath.dtype)
     f32 = jnp.float32
     first = (
         jnp.dot(e, p["w_e"].astype(e.dtype), preferred_element_type=f32)
@@ -79,17 +101,19 @@ def gns_mp_step_reference(
     return e_out.astype(e.dtype), h_out.astype(h.dtype)
 
 
-def _fused_kernel(
-    e_ref, hs_ref, hr_ref, h_ref, mask_ref,
+def _mp_math(
+    e2, hs_ref, hr_ref, h_ref, mask_ref,
     w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
     wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
     e_out_ref, h_out_ref,
 ):
-    t, k, f = e_ref.shape
+    """Shared MP-step body: ``e2`` is the (t*k, f) edge latent value (read
+    from HBM or encoded in VMEM); everything else are the kernel refs."""
+    t, k = mask_ref.shape
+    f = e2.shape[-1]
     f32 = jnp.float32
-    cdt = e_ref.dtype
+    cdt = e2.dtype
 
-    e2 = e_ref[...].reshape(t * k, f)
     first = jnp.dot(e2, w_e_ref[...], preferred_element_type=f32)
     first += hs_ref[...].reshape(t * k, f).astype(f32)
     # receiver broadcast: repeat each row K times
@@ -102,7 +126,9 @@ def _fused_kernel(
     messages = _layernorm(x, g1_ref[...].astype(f32), be1_ref[...].astype(f32))
     messages = messages.reshape(t, k, f)
 
-    e_out_ref[...] = (e_ref[...].astype(f32) + messages).astype(cdt)
+    e_out_ref[...] = (
+        e2.reshape(t, k, f).astype(f32) + messages
+    ).astype(cdt)
 
     m = mask_ref[...].astype(f32)  # (t, k)
     agg = jnp.sum(messages * m[..., None], axis=1)  # (t, f)
@@ -119,6 +145,54 @@ def _fused_kernel(
     h_out_ref[...] = (h_ref[...].astype(f32) + h_new).astype(h_ref.dtype)
 
 
+def _fused_kernel(
+    e_ref, hs_ref, hr_ref, h_ref, mask_ref,
+    w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
+    wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
+    e_out_ref, h_out_ref,
+):
+    t, k, f = e_ref.shape
+    _mp_math(
+        e_ref[...].reshape(t * k, f),
+        hs_ref, hr_ref, h_ref, mask_ref,
+        w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
+        wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
+        e_out_ref, h_out_ref,
+    )
+
+
+def _fused_enc_kernel(
+    raw_ref, hs_ref, hr_ref, h_ref, mask_ref,
+    ew1_ref, eb1_ref, ew2_ref, eb2_ref, eg_ref, ebe_ref,
+    w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
+    wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
+    e_out_ref, h_out_ref,
+):
+    """Encoder-fused variant: raw (t, k, fe) edge features are encoded to
+    (t*k, f) latents in VMEM, skipping the HBM round trip of a separate
+    encoder launch, then the standard MP body runs."""
+    t, k, fe = raw_ref.shape
+    f32 = jnp.float32
+    cdt = hs_ref.dtype
+
+    raw2 = raw_ref[...].reshape(t * k, fe).astype(cdt)
+    x = jnp.dot(raw2, ew1_ref[...], preferred_element_type=f32)
+    x += eb1_ref[...].astype(f32)
+    x = jnp.maximum(x, 0.0).astype(cdt)
+    x = jnp.dot(x, ew2_ref[...], preferred_element_type=f32)
+    x += eb2_ref[...].astype(f32)
+    e2 = _layernorm(
+        x, eg_ref[...].astype(f32), ebe_ref[...].astype(f32)
+    ).astype(cdt)
+
+    _mp_math(
+        e2, hs_ref, hr_ref, h_ref, mask_ref,
+        w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
+        wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
+        e_out_ref, h_out_ref,
+    )
+
+
 def gns_mp_step(
     e: jnp.ndarray,
     hs_gath: jnp.ndarray,
@@ -128,19 +202,28 @@ def gns_mp_step(
     p: Dict[str, jnp.ndarray],
     tile: int = 128,
     interpret: Optional[bool] = None,
+    enc: Optional[Dict[str, jnp.ndarray]] = None,
 ):
     """Run the fused MP step (differentiable).
 
     Off-TPU the pure-jax mirror runs directly (natively differentiable). On
-    TPU the Pallas kernel runs forward and a custom VJP rematerializes the
-    backward through the mirror — so the fused processor is trainable, with
-    the forward on the fast path.
+    TPU the Pallas kernel runs forward and a custom VJP runs the fused
+    Pallas backward — so the fused processor is trainable, with the forward
+    on the fast path.
+
+    With ``enc`` (edge-encoder params, see ``ENC_PARAM_NAMES``), ``e`` is
+    the RAW (N, K, Fe) edge-feature tensor and the encoder MLP runs inside
+    the kernel, skipping one full (N, K, F) HBM round trip per forward.
     """
     if interpret is None:
         if jax.default_backend() != "tpu":
-            return gns_mp_step_reference(e, hs_gath, hr_proj, h, mask, p)
+            return gns_mp_step_reference(e, hs_gath, hr_proj, h, mask, p, enc)
         interpret = False
     mask = mask.astype(jnp.float32)  # custom_vjp needs float cotangents
+    if enc is not None:
+        return _gns_mp_enc_step_vjp(
+            e, hs_gath, hr_proj, h, mask, p, enc, tile, interpret
+        )
     return _gns_mp_step_vjp(e, hs_gath, hr_proj, h, mask, p, tile, interpret)
 
 
@@ -163,6 +246,41 @@ def _gns_mp_step_vjp_bwd(tile, interpret, residuals, cotangents):
 
 
 _gns_mp_step_vjp.defvjp(_gns_mp_step_vjp_fwd, _gns_mp_step_vjp_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _gns_mp_enc_step_vjp(raw, hs_gath, hr_proj, h, mask, p, enc, tile,
+                         interpret):
+    return _gns_mp_enc_step_pallas(
+        raw, hs_gath, hr_proj, h, mask, p, enc, tile, interpret
+    )
+
+
+def _gns_mp_enc_step_vjp_fwd(raw, hs_gath, hr_proj, h, mask, p, enc, tile,
+                             interpret):
+    out = _gns_mp_enc_step_pallas(
+        raw, hs_gath, hr_proj, h, mask, p, enc, tile, interpret
+    )
+    return out, (raw, hs_gath, hr_proj, h, mask, p, enc)
+
+
+def _gns_mp_enc_step_vjp_bwd(tile, interpret, residuals, cotangents):
+    """Composed backward: rematerialize the encoder in XLA (one cheap
+    edge MLP), run the fused Pallas MP backward to get d_e, then push d_e
+    through the encoder's own VJP for d_raw / d_enc."""
+    raw, hs_gath, hr_proj, h, mask, p, enc = residuals
+    cdt = hs_gath.dtype
+    e, enc_vjp = jax.vjp(
+        lambda r, en: encode_edges_reference(r, en, cdt), raw, enc
+    )
+    de, dhs, dhr, dh, dp = _gns_mp_step_bwd_pallas(
+        e, hs_gath, hr_proj, h, mask, p, cotangents, interpret
+    )
+    draw, denc = enc_vjp(de.astype(e.dtype))
+    return draw, dhs, dhr, dh, jnp.zeros_like(mask), dp, denc
+
+
+_gns_mp_enc_step_vjp.defvjp(_gns_mp_enc_step_vjp_fwd, _gns_mp_enc_step_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -468,6 +586,87 @@ def _gns_mp_step_pallas(e, hs_gath, hr_proj, h, mask, p, tile, interpret):
         ],
         interpret=interpret,
     )(e, hs_gath, hr_proj, h, mask, *params)
+
+    if n_pad:
+        e_out = e_out[:n]
+        h_out = h_out[:n]
+    return e_out, h_out
+
+
+def _gns_mp_enc_step_pallas(raw, hs_gath, hr_proj, h, mask, p, enc, tile,
+                            interpret):
+    """Encoder-fused forward launch: raw (N, K, Fe) in, latents out."""
+    n, k, fe = raw.shape
+    f = hs_gath.shape[-1]
+    tile = min(tile, n)
+    if n % tile:
+        for cand in range(min(tile * 2, 512), 7, -8):
+            if n % cand == 0:
+                tile = cand
+                break
+    n_pad = -n % tile
+    if n_pad:
+        pad3 = ((0, n_pad), (0, 0), (0, 0))
+        pad2 = ((0, n_pad), (0, 0))
+        raw = jnp.pad(raw, pad3)
+        hs_gath = jnp.pad(hs_gath, pad3)
+        hr_proj = jnp.pad(hr_proj, pad2)
+        h = jnp.pad(h, pad2)
+        mask = jnp.pad(mask, pad2)
+    n_tiles = (n + n_pad) // tile
+
+    cdt = hs_gath.dtype
+    enc_params = [
+        enc["enc_w1"].astype(cdt),
+        enc["enc_b1"].reshape(1, f).astype(jnp.float32),
+        enc["enc_w2"].astype(cdt),
+        enc["enc_b2"].reshape(1, f).astype(jnp.float32),
+        enc["enc_ln_scale"].reshape(1, f).astype(jnp.float32),
+        enc["enc_ln_bias"].reshape(1, f).astype(jnp.float32),
+    ]
+    params = [
+        p["w_e"].astype(cdt), p["b1"].reshape(1, f).astype(jnp.float32),
+        p["w2"].astype(cdt), p["b2"].reshape(1, f).astype(jnp.float32),
+        p["ln1_scale"].reshape(1, f).astype(jnp.float32),
+        p["ln1_bias"].reshape(1, f).astype(jnp.float32),
+        p["w_nh"].astype(cdt), p["w_na"].astype(cdt),
+        p["bn1"].reshape(1, f).astype(jnp.float32),
+        p["wn2"].astype(cdt), p["bn2"].reshape(1, f).astype(jnp.float32),
+        p["ln2_scale"].reshape(1, f).astype(jnp.float32),
+        p["ln2_bias"].reshape(1, f).astype(jnp.float32),
+    ]
+
+    raw_spec = pl.BlockSpec(
+        (tile, k, fe), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    tile_spec3 = pl.BlockSpec(
+        (tile, k, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    tile_spec2 = pl.BlockSpec(
+        (tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    mask_spec = pl.BlockSpec(
+        (tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    def full_spec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    e_out, h_out = pl.pallas_call(
+        _fused_enc_kernel,
+        grid=(n_tiles,),
+        in_specs=[raw_spec, tile_spec3, tile_spec2, tile_spec2, mask_spec]
+        + [full_spec(q) for q in enc_params]
+        + [full_spec(q) for q in params],
+        out_specs=[tile_spec3, tile_spec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((n + n_pad, k, f), cdt),
+            jax.ShapeDtypeStruct(h.shape, h.dtype),
+        ],
+        interpret=interpret,
+    )(raw, hs_gath, hr_proj, h, mask, *enc_params, *params)
 
     if n_pad:
         e_out = e_out[:n]

@@ -44,6 +44,55 @@ def test_kernel_matches_reference():
     np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_ref), atol=1e-5)
 
 
+def test_enc_kernel_matches_reference():
+    """Encoder-fused pallas (interpret) == mirror on raw edge features."""
+    rng = np.random.default_rng(2)
+    fe = 3
+    raw = jnp.asarray(rng.normal(size=(N, K, fe)), jnp.float32)
+    hs = jnp.asarray(rng.normal(size=(N, K, F)), jnp.float32)
+    hr = jnp.asarray(rng.normal(size=(N, F)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(N, F)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(N, K)) > 0.3)
+    p = fused_mp.init_step_params(jax.random.PRNGKey(0), F)
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    init = jax.nn.initializers.lecun_normal()
+    enc = {
+        "enc_w1": init(keys[0], (fe, F), jnp.float32),
+        "enc_b1": jnp.zeros((F,)) + 0.1,
+        "enc_w2": init(keys[1], (F, F), jnp.float32),
+        "enc_b2": jnp.zeros((F,)) - 0.2,
+        "enc_ln_scale": jnp.ones((F,)) * 1.1,
+        "enc_ln_bias": jnp.zeros((F,)) + 0.05,
+    }
+
+    e_ref, h_ref = fused_mp.gns_mp_step_reference(raw, hs, hr, h, mask, p, enc)
+    e_k, h_k = fused_mp.gns_mp_step(
+        raw, hs, hr, h, mask, p, tile=16, interpret=True, enc=enc
+    )
+    np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_ref), atol=1e-5)
+
+    def loss_via(fn):
+        def loss(raw_, p_, enc_):
+            e_out, h_out = fn(raw_, p_, enc_)
+            return jnp.sum(e_out**2) + jnp.sum(h_out**2)
+        return jax.grad(loss, argnums=(0, 1, 2))(raw, p, enc)
+
+    g_ref = loss_via(
+        lambda r, p_, en: fused_mp.gns_mp_step_reference(
+            r, hs, hr, h, jnp.asarray(mask), p_, en)
+    )
+    g_k = loss_via(
+        lambda r, p_, en: fused_mp.gns_mp_step(
+            r, hs, hr, h, jnp.asarray(mask), p_, tile=16, interpret=True,
+            enc=en)
+    )
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_k)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-4
+        )
+
+
 def test_fused_gns_matches_standard():
     """Standard GNS and fused GNS with converted params agree (float32)."""
     feats, ptype = dense_sample()
