@@ -14,8 +14,15 @@ The sender projection is gathered OUTSIDE the kernel (one node-level matmul
 ~15 XLA kernels per step into ~4, which matters doubly on runtimes with
 high per-kernel launch overhead (measured ~28us/kernel here).
 
+On the first MP step the edge-encoder MLP optionally folds into the same
+launch (``enc``): it runs in VMEM on the raw (N, K, Fe) features, skipping
+one full (N, K, F) HBM round trip. (A decoder fold into the last step was
+measured and rejected: neutral-to-slightly-negative at both bench scales —
+the decoder's XLA cost is already small and the in-kernel stage lengthens
+the last launch's critical path.)
+
 ``gns_mp_step_reference`` is the pure-jax mirror used for parity tests and
-as the non-TPU fallback; both consume the same flat parameter dict.
+as the non-TPU fallback; both consume the same flat parameter dicts.
 """
 
 from __future__ import annotations
@@ -25,7 +32,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,16 +41,15 @@ PARAM_NAMES = (
     "w_nh", "w_na", "bn1", "wn2", "bn2", "ln2_scale", "ln2_bias",
 )
 
+ENC_PARAM_NAMES = ("enc_w1", "enc_b1", "enc_w2", "enc_b2",
+                   "enc_ln_scale", "enc_ln_bias")
+
 
 def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps=1e-5):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     return y * scale + bias
-
-
-ENC_PARAM_NAMES = ("enc_w1", "enc_b1", "enc_w2", "enc_b2",
-                   "enc_ln_scale", "enc_ln_bias")
 
 
 def encode_edges_reference(raw: jnp.ndarray, enc: Dict[str, jnp.ndarray],
@@ -105,10 +110,10 @@ def _mp_math(
     e2, hs_ref, hr_ref, h_ref, mask_ref,
     w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
     wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
-    e_out_ref, h_out_ref,
+    e_out_ref,
 ):
     """Shared MP-step body: ``e2`` is the (t*k, f) edge latent value (read
-    from HBM or encoded in VMEM); everything else are the kernel refs."""
+    from HBM or encoded in VMEM); writes e_out, returns the h_out value."""
     t, k = mask_ref.shape
     f = e2.shape[-1]
     f32 = jnp.float32
@@ -142,55 +147,139 @@ def _mp_math(
     y = jnp.dot(y, wn2_ref[...], preferred_element_type=f32)
     y += bn2_ref[...].astype(f32)
     h_new = _layernorm(y, g2_ref[...].astype(f32), be2_ref[...].astype(f32))
-    h_out_ref[...] = (h_ref[...].astype(f32) + h_new).astype(h_ref.dtype)
+    return (h_ref[...].astype(f32) + h_new).astype(h_ref.dtype)
 
 
-def _fused_kernel(
-    e_ref, hs_ref, hr_ref, h_ref, mask_ref,
-    w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
-    wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
-    e_out_ref, h_out_ref,
-):
-    t, k, f = e_ref.shape
-    _mp_math(
-        e_ref[...].reshape(t * k, f),
-        hs_ref, hr_ref, h_ref, mask_ref,
-        w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
-        wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
-        e_out_ref, h_out_ref,
+def _make_fused_kernel(has_enc: bool):
+    """Kernel factory: optional in-VMEM edge-encoder stage."""
+
+    def kernel(*args):
+        e_ref, hs_ref, hr_ref, h_ref, mask_ref = args[:5]
+        i = 5
+        if has_enc:
+            ew1_ref, eb1_ref, ew2_ref, eb2_ref, eg_ref, ebe_ref = args[i:i + 6]
+            i += 6
+        p_refs = args[i:i + 13]
+        i += 13
+        e_out_ref, h_out_ref = args[i:i + 2]
+
+        f32 = jnp.float32
+        cdt = hs_ref.dtype
+        t, k, _ = e_ref.shape
+
+        if has_enc:
+            fe = e_ref.shape[-1]
+            raw2 = e_ref[...].reshape(t * k, fe).astype(cdt)
+            x = jnp.dot(raw2, ew1_ref[...], preferred_element_type=f32)
+            x += eb1_ref[...].astype(f32)
+            x = jnp.maximum(x, 0.0).astype(cdt)
+            x = jnp.dot(x, ew2_ref[...], preferred_element_type=f32)
+            x += eb2_ref[...].astype(f32)
+            e2 = _layernorm(
+                x, eg_ref[...].astype(f32), ebe_ref[...].astype(f32)
+            ).astype(cdt)
+        else:
+            f = e_ref.shape[-1]
+            e2 = e_ref[...].reshape(t * k, f)
+
+        h_out_ref[...] = _mp_math(e2, hs_ref, hr_ref, h_ref, mask_ref,
+                                  *p_refs, e_out_ref)
+
+    return kernel
+
+
+def _pick_tile(n: int, k: int, tile: int, row_budget: int = 4800) -> int:
+    """Receiver-tile size bounded by VMEM: tile*K edge rows per launch.
+
+    ``row_budget`` is calibrated on v5e (16 MB VMEM): tile=200 x K=24 is the
+    largest measured-good forward configuration. Prefers a tile that divides
+    N exactly — padding 5 input tensors costs ~0.5 ms/step at bench scale.
+    """
+    cap = max((row_budget // max(k, 1)) // 8 * 8, 8)
+    tile = min(tile, n, cap)
+    if n % tile:
+        hi = min(max(tile * 2, 8), 512, cap)
+        for cand in range(hi - hi % 8, 7, -8):
+            if n % cand == 0:
+                return cand
+    return tile
+
+
+def _row_params(p: Dict[str, jnp.ndarray], names, f: int, cdt):
+    """Parameter arrays for the kernel: weights in compute dtype, vectors
+    as (1, f) float32 rows."""
+    out = []
+    for name in names:
+        arr = p[name]
+        if arr.ndim == 2:
+            out.append(arr.astype(cdt))
+        else:
+            out.append(arr.reshape(1, -1).astype(jnp.float32))
+    return out
+
+
+_MP_KERNEL_PARAMS = (
+    "w_e", "b1", "w2", "b2", "ln1_scale", "ln1_bias",
+    "w_nh", "w_na", "bn1", "wn2", "bn2", "ln2_scale", "ln2_bias",
+)
+
+
+def _launch_fused(e, hs_gath, hr_proj, h, mask, p, enc, tile, interpret):
+    """Forward Pallas launch (see module docstring for the math)."""
+    n, k, fe = e.shape
+    f = hs_gath.shape[-1]
+    cdt = hs_gath.dtype
+    tile = _pick_tile(n, k, tile)
+    n_pad = -n % tile
+    if n_pad:
+        pad3 = ((0, n_pad), (0, 0), (0, 0))
+        pad2 = ((0, n_pad), (0, 0))
+        e = jnp.pad(e, pad3)
+        hs_gath = jnp.pad(hs_gath, pad3)
+        hr_proj = jnp.pad(hr_proj, pad2)
+        h = jnp.pad(h, pad2)
+        mask = jnp.pad(mask, pad2)
+    n_tiles = (n + n_pad) // tile
+
+    params = _row_params(p, _MP_KERNEL_PARAMS, f, cdt)
+    enc_params = _row_params(enc, ENC_PARAM_NAMES, f, cdt) if enc else []
+
+    in_tile_spec = pl.BlockSpec(
+        (tile, k, fe), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    tile_spec3 = pl.BlockSpec(
+        (tile, k, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    tile_spec2 = pl.BlockSpec(
+        (tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    mask_spec = pl.BlockSpec(
+        (tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
+    def full_spec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
 
-def _fused_enc_kernel(
-    raw_ref, hs_ref, hr_ref, h_ref, mask_ref,
-    ew1_ref, eb1_ref, ew2_ref, eb2_ref, eg_ref, ebe_ref,
-    w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
-    wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
-    e_out_ref, h_out_ref,
-):
-    """Encoder-fused variant: raw (t, k, fe) edge features are encoded to
-    (t*k, f) latents in VMEM, skipping the HBM round trip of a separate
-    encoder launch, then the standard MP body runs."""
-    t, k, fe = raw_ref.shape
-    f32 = jnp.float32
-    cdt = hs_ref.dtype
+    e_out, h_out = pl.pallas_call(
+        _make_fused_kernel(bool(enc)),
+        grid=(n_tiles,),
+        in_specs=[in_tile_spec, tile_spec3, tile_spec2, tile_spec2, mask_spec]
+        + [full_spec(q) for q in enc_params]
+        + [full_spec(q) for q in params],
+        out_specs=[tile_spec3, tile_spec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((n + n_pad, k, f), cdt),
+            jax.ShapeDtypeStruct(h.shape, h.dtype),
+        ],
+        interpret=interpret,
+    )(e, hs_gath, hr_proj, h, mask, *enc_params, *params)
 
-    raw2 = raw_ref[...].reshape(t * k, fe).astype(cdt)
-    x = jnp.dot(raw2, ew1_ref[...], preferred_element_type=f32)
-    x += eb1_ref[...].astype(f32)
-    x = jnp.maximum(x, 0.0).astype(cdt)
-    x = jnp.dot(x, ew2_ref[...], preferred_element_type=f32)
-    x += eb2_ref[...].astype(f32)
-    e2 = _layernorm(
-        x, eg_ref[...].astype(f32), ebe_ref[...].astype(f32)
-    ).astype(cdt)
-
-    _mp_math(
-        e2, hs_ref, hr_ref, h_ref, mask_ref,
-        w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
-        wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
-        e_out_ref, h_out_ref,
-    )
+    if n_pad:
+        e_out = e_out[:n]
+        h_out = h_out[:n]
+    return e_out, h_out
 
 
 def gns_mp_step(
@@ -211,76 +300,53 @@ def gns_mp_step(
     Pallas backward — so the fused processor is trainable, with the forward
     on the fast path.
 
-    With ``enc`` (edge-encoder params, see ``ENC_PARAM_NAMES``), ``e`` is
-    the RAW (N, K, Fe) edge-feature tensor and the encoder MLP runs inside
-    the kernel, skipping one full (N, K, F) HBM round trip per forward.
+    With ``enc`` (edge-encoder params, ``ENC_PARAM_NAMES``), ``e`` is the
+    RAW (N, K, Fe) edge-feature tensor and the encoder MLP runs inside the
+    kernel, skipping one full (N, K, F) HBM round trip per forward.
     """
     if interpret is None:
         if jax.default_backend() != "tpu":
             return gns_mp_step_reference(e, hs_gath, hr_proj, h, mask, p, enc)
         interpret = False
     mask = mask.astype(jnp.float32)  # custom_vjp needs float cotangents
-    if enc is not None:
-        return _gns_mp_enc_step_vjp(
-            e, hs_gath, hr_proj, h, mask, p, enc, tile, interpret
-        )
-    return _gns_mp_step_vjp(e, hs_gath, hr_proj, h, mask, p, tile, interpret)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _gns_mp_step_vjp(e, hs_gath, hr_proj, h, mask, p, tile, interpret):
-    return _gns_mp_step_pallas(e, hs_gath, hr_proj, h, mask, p, tile, interpret)
-
-
-def _gns_mp_step_vjp_fwd(e, hs_gath, hr_proj, h, mask, p, tile, interpret):
-    out = _gns_mp_step_pallas(e, hs_gath, hr_proj, h, mask, p, tile, interpret)
-    return out, (e, hs_gath, hr_proj, h, mask, p)
-
-
-def _gns_mp_step_vjp_bwd(tile, interpret, residuals, cotangents):
-    e, hs_gath, hr_proj, h, mask, p = residuals
-    de, dhs, dhr, dh, dp = _gns_mp_step_bwd_pallas(
-        e, hs_gath, hr_proj, h, mask, p, cotangents, interpret
-    )
-    return de, dhs, dhr, dh, jnp.zeros_like(mask), dp
-
-
-_gns_mp_step_vjp.defvjp(_gns_mp_step_vjp_fwd, _gns_mp_step_vjp_bwd)
+    return _gns_mp_step_vjp(e, hs_gath, hr_proj, h, mask, p, enc, tile,
+                            interpret)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _gns_mp_enc_step_vjp(raw, hs_gath, hr_proj, h, mask, p, enc, tile,
+def _gns_mp_step_vjp(e, hs_gath, hr_proj, h, mask, p, enc, tile, interpret):
+    return _launch_fused(e, hs_gath, hr_proj, h, mask, p, enc, tile,
+                         interpret)
+
+
+def _gns_mp_step_vjp_fwd(e, hs_gath, hr_proj, h, mask, p, enc, tile,
                          interpret):
-    return _gns_mp_enc_step_pallas(
-        raw, hs_gath, hr_proj, h, mask, p, enc, tile, interpret
-    )
+    out = _launch_fused(e, hs_gath, hr_proj, h, mask, p, enc, tile,
+                        interpret)
+    return out, (e, hs_gath, hr_proj, h, mask, p, enc)
 
 
-def _gns_mp_enc_step_vjp_fwd(raw, hs_gath, hr_proj, h, mask, p, enc, tile,
-                             interpret):
-    out = _gns_mp_enc_step_pallas(
-        raw, hs_gath, hr_proj, h, mask, p, enc, tile, interpret
-    )
-    return out, (raw, hs_gath, hr_proj, h, mask, p, enc)
-
-
-def _gns_mp_enc_step_vjp_bwd(tile, interpret, residuals, cotangents):
-    """Composed backward: rematerialize the encoder in XLA (one cheap
-    edge MLP), run the fused Pallas MP backward to get d_e, then push d_e
-    through the encoder's own VJP for d_raw / d_enc."""
-    raw, hs_gath, hr_proj, h, mask, p, enc = residuals
+def _gns_mp_step_vjp_bwd(tile, interpret, residuals, cotangents):
+    """Composed backward: the fused Pallas MP backward does the edge-shaped
+    work; the optional encoder stage backprops through its cheap XLA
+    mirror (one extra edge-MLP forward rematerializes the encoded e)."""
+    e, hs_gath, hr_proj, h, mask, p, enc = residuals
     cdt = hs_gath.dtype
-    e, enc_vjp = jax.vjp(
-        lambda r, en: encode_edges_reference(r, en, cdt), raw, enc
-    )
+    denc = None
+    if enc is not None:
+        raw = e
+        e, enc_vjp = jax.vjp(
+            lambda r, en: encode_edges_reference(r, en, cdt), raw, enc
+        )
     de, dhs, dhr, dh, dp = _gns_mp_step_bwd_pallas(
         e, hs_gath, hr_proj, h, mask, p, cotangents, interpret
     )
-    draw, denc = enc_vjp(de.astype(e.dtype))
-    return draw, dhs, dhr, dh, jnp.zeros_like(mask), dp, denc
+    if enc is not None:
+        de, denc = enc_vjp(de.astype(e.dtype))
+    return de, dhs, dhr, dh, jnp.zeros_like(mask), dp, denc
 
 
-_gns_mp_enc_step_vjp.defvjp(_gns_mp_enc_step_vjp_fwd, _gns_mp_enc_step_vjp_bwd)
+_gns_mp_step_vjp.defvjp(_gns_mp_step_vjp_fwd, _gns_mp_step_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -427,12 +493,9 @@ def _gns_mp_step_bwd_pallas(e, hs_gath, hr_proj, h, mask, p, cotangents,
     """Pallas backward launch; returns (de, dhs, dhr, dh, dp)."""
     ge, gh = cotangents
     n, k, f = e.shape
-    tile = min(tile, n)
-    if n % tile:
-        for cand in range(min(tile * 2, 128), 7, -8):
-            if n % cand == 0:
-                tile = cand
-                break
+    # the backward keeps ~3x the forward's live state per row (remat
+    # intermediates + cotangents), hence the smaller budget
+    tile = _pick_tile(n, k, tile, row_budget=1600)
     n_pad = -n % tile
     if n_pad:
         pad3 = ((0, n_pad), (0, 0), (0, 0))
@@ -447,17 +510,7 @@ def _gns_mp_step_bwd_pallas(e, hs_gath, hr_proj, h, mask, p, cotangents,
     n_tiles = (n + n_pad) // tile
 
     cdt = e.dtype
-    params = [
-        p["w_e"].astype(cdt), p["b1"].reshape(1, f).astype(jnp.float32),
-        p["w2"].astype(cdt), p["b2"].reshape(1, f).astype(jnp.float32),
-        p["ln1_scale"].reshape(1, f).astype(jnp.float32),
-        p["ln1_bias"].reshape(1, f).astype(jnp.float32),
-        p["w_nh"].astype(cdt), p["w_na"].astype(cdt),
-        p["bn1"].reshape(1, f).astype(jnp.float32),
-        p["wn2"].astype(cdt), p["bn2"].reshape(1, f).astype(jnp.float32),
-        p["ln2_scale"].reshape(1, f).astype(jnp.float32),
-        p["ln2_bias"].reshape(1, f).astype(jnp.float32),
-    ]
+    params = _row_params(p, _BWD_PARAM_ORDER, f, cdt)
 
     tile_spec3 = pl.BlockSpec(
         (tile, k, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -522,156 +575,6 @@ def _gns_mp_step_bwd_pallas(e, hs_gath, hr_proj, h, mask, p, cotangents,
     dp["w_s"] = jnp.zeros_like(p["w_s"])
     dp["w_r"] = jnp.zeros_like(p["w_r"])
     return de, dhs, dhr, dh, dp
-
-
-def _gns_mp_step_pallas(e, hs_gath, hr_proj, h, mask, p, tile, interpret):
-    """Forward Pallas launch (see module docstring for the math)."""
-    n, k, f = e.shape
-    tile = min(tile, n)
-    if n % tile:
-        # prefer a tile that divides N exactly: padding 5 input tensors
-        # costs ~0.5 ms/step in pad kernels at bench scale
-        for cand in range(min(tile * 2, 512), 7, -8):
-            if n % cand == 0:
-                tile = cand
-                break
-    n_pad = -n % tile
-    if n_pad:
-        pad3 = ((0, n_pad), (0, 0), (0, 0))
-        pad2 = ((0, n_pad), (0, 0))
-        e = jnp.pad(e, pad3)
-        hs_gath = jnp.pad(hs_gath, pad3)
-        hr_proj = jnp.pad(hr_proj, pad2)
-        h = jnp.pad(h, pad2)
-        mask = jnp.pad(mask, pad2)
-    n_tiles = (n + n_pad) // tile
-
-    cdt = e.dtype
-    params = [
-        p["w_e"].astype(cdt), p["b1"].reshape(1, f).astype(jnp.float32),
-        p["w2"].astype(cdt), p["b2"].reshape(1, f).astype(jnp.float32),
-        p["ln1_scale"].reshape(1, f).astype(jnp.float32),
-        p["ln1_bias"].reshape(1, f).astype(jnp.float32),
-        p["w_nh"].astype(cdt), p["w_na"].astype(cdt),
-        p["bn1"].reshape(1, f).astype(jnp.float32),
-        p["wn2"].astype(cdt), p["bn2"].reshape(1, f).astype(jnp.float32),
-        p["ln2_scale"].reshape(1, f).astype(jnp.float32),
-        p["ln2_bias"].reshape(1, f).astype(jnp.float32),
-    ]
-
-    tile_spec3 = pl.BlockSpec(
-        (tile, k, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    tile_spec2 = pl.BlockSpec(
-        (tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    mask_spec = pl.BlockSpec(
-        (tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-
-    def full_spec(arr):
-        return pl.BlockSpec(
-            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
-        )
-
-    e_out, h_out = pl.pallas_call(
-        _fused_kernel,
-        grid=(n_tiles,),
-        in_specs=[tile_spec3, tile_spec3, tile_spec2, tile_spec2, mask_spec]
-        + [full_spec(q) for q in params],
-        out_specs=[tile_spec3, tile_spec2],
-        out_shape=[
-            jax.ShapeDtypeStruct(e.shape, cdt),
-            jax.ShapeDtypeStruct(h.shape, h.dtype),
-        ],
-        interpret=interpret,
-    )(e, hs_gath, hr_proj, h, mask, *params)
-
-    if n_pad:
-        e_out = e_out[:n]
-        h_out = h_out[:n]
-    return e_out, h_out
-
-
-def _gns_mp_enc_step_pallas(raw, hs_gath, hr_proj, h, mask, p, enc, tile,
-                            interpret):
-    """Encoder-fused forward launch: raw (N, K, Fe) in, latents out."""
-    n, k, fe = raw.shape
-    f = hs_gath.shape[-1]
-    tile = min(tile, n)
-    if n % tile:
-        for cand in range(min(tile * 2, 512), 7, -8):
-            if n % cand == 0:
-                tile = cand
-                break
-    n_pad = -n % tile
-    if n_pad:
-        pad3 = ((0, n_pad), (0, 0), (0, 0))
-        pad2 = ((0, n_pad), (0, 0))
-        raw = jnp.pad(raw, pad3)
-        hs_gath = jnp.pad(hs_gath, pad3)
-        hr_proj = jnp.pad(hr_proj, pad2)
-        h = jnp.pad(h, pad2)
-        mask = jnp.pad(mask, pad2)
-    n_tiles = (n + n_pad) // tile
-
-    cdt = hs_gath.dtype
-    enc_params = [
-        enc["enc_w1"].astype(cdt),
-        enc["enc_b1"].reshape(1, f).astype(jnp.float32),
-        enc["enc_w2"].astype(cdt),
-        enc["enc_b2"].reshape(1, f).astype(jnp.float32),
-        enc["enc_ln_scale"].reshape(1, f).astype(jnp.float32),
-        enc["enc_ln_bias"].reshape(1, f).astype(jnp.float32),
-    ]
-    params = [
-        p["w_e"].astype(cdt), p["b1"].reshape(1, f).astype(jnp.float32),
-        p["w2"].astype(cdt), p["b2"].reshape(1, f).astype(jnp.float32),
-        p["ln1_scale"].reshape(1, f).astype(jnp.float32),
-        p["ln1_bias"].reshape(1, f).astype(jnp.float32),
-        p["w_nh"].astype(cdt), p["w_na"].astype(cdt),
-        p["bn1"].reshape(1, f).astype(jnp.float32),
-        p["wn2"].astype(cdt), p["bn2"].reshape(1, f).astype(jnp.float32),
-        p["ln2_scale"].reshape(1, f).astype(jnp.float32),
-        p["ln2_bias"].reshape(1, f).astype(jnp.float32),
-    ]
-
-    raw_spec = pl.BlockSpec(
-        (tile, k, fe), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    tile_spec3 = pl.BlockSpec(
-        (tile, k, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    tile_spec2 = pl.BlockSpec(
-        (tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    mask_spec = pl.BlockSpec(
-        (tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-
-    def full_spec(arr):
-        return pl.BlockSpec(
-            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
-        )
-
-    e_out, h_out = pl.pallas_call(
-        _fused_enc_kernel,
-        grid=(n_tiles,),
-        in_specs=[raw_spec, tile_spec3, tile_spec2, tile_spec2, mask_spec]
-        + [full_spec(q) for q in enc_params]
-        + [full_spec(q) for q in params],
-        out_specs=[tile_spec3, tile_spec2],
-        out_shape=[
-            jax.ShapeDtypeStruct((n + n_pad, k, f), cdt),
-            jax.ShapeDtypeStruct(h.shape, h.dtype),
-        ],
-        interpret=interpret,
-    )(raw, hs_gath, hr_proj, h, mask, *enc_params, *params)
-
-    if n_pad:
-        e_out = e_out[:n]
-        h_out = h_out[:n]
-    return e_out, h_out
 
 
 def init_step_params(key, f: int, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:

@@ -585,7 +585,18 @@ def neighbor_list(
                     max_k = max(max_k, int(within.sum(axis=1).max()))
         e_cap = max(_round_up(max(count, 1) * capacity_multiplier, 128), 128)
         if format == "dense":
-            k_cap = max(_round_up(max(max_k, 1) * capacity_multiplier, 4), 4)
+            # pallas (the fused-processor pairing): multiple of 8 keeps the
+            # K axis sublane-aligned — the fused MP kernels reshape
+            # (t, K, f) -> (t*K, f), which is free only at aligned K
+            # (misaligned K forces a Mosaic relayout; measured 1.8x slower
+            # whole-rollout at K=20 vs K=24 on the 2D bench). XLA backends
+            # pay per slot with no alignment win, so they keep the tighter
+            # rounding.
+            k_align = 8 if backend == "pallas" else 4
+            k_cap = max(
+                _round_up(max(max_k, 1) * capacity_multiplier, k_align),
+                k_align,
+            )
             return k_cap, cell_cap, col_grid
         return e_cap, cell_cap, col_grid
 
@@ -677,7 +688,10 @@ def neighbor_list(
         """
         e_cap, cell_cap, col_grid = _count_and_caps(position, num_particles)
         if capacity_boost != 1.0:
-            align = 4 if format == "dense" else 128
+            if format == "dense":
+                align = 8 if backend == "pallas" else 4
+            else:
+                align = 128
             e_cap = _round_up(e_cap * capacity_boost, align)
             cell_cap = _round_up(cell_cap * capacity_boost, 4) if cell_cap else 0
         update = _make_update(e_cap, cell_cap, col_grid)
