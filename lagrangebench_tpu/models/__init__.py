@@ -10,6 +10,7 @@ from .egnn import EGNN
 from .gns import GNS
 from .linear import Linear
 from .painn import PaiNN
+from .segnn import SEGNN
 
 __all__ = [
     "BaseModel",
@@ -17,6 +18,7 @@ __all__ = [
     "Linear",
     "EGNN",
     "PaiNN",
+    "SEGNN",
     "make_model_fns",
     "setup_model",
 ]
