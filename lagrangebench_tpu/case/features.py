@@ -95,9 +95,14 @@ def physical_feature_builder(
                 jnp.int32, senders.shape, 0
             )
             disp_kvmap = jax.vmap(disp_vmap, in_axes=(0, 0))
-            edge_disp = disp_kvmap(
-                most_recent[receivers], most_recent[senders]
+            # receiver side as an explicit broadcast: receivers is a row
+            # iota, and XLA lowers `most_recent[receivers]` as a real
+            # (N, K, dim) gather (~0.25 ms/step at bench scale) instead of
+            # recognizing the broadcast
+            recv_pos = jnp.broadcast_to(
+                most_recent[:, None, :], most_recent[senders].shape
             )
+            edge_disp = disp_kvmap(recv_pos, most_recent[senders])
             # zero out padded slots (clamped gathers would leave junk here,
             # unlike the sparse case where receiver==N too)
             valid = (senders < n)[..., None]
