@@ -16,10 +16,17 @@ high per-kernel launch overhead (measured ~28us/kernel here).
 
 On the first MP step the edge-encoder MLP optionally folds into the same
 launch (``enc``): it runs in VMEM on the raw (N, K, Fe) features, skipping
-one full (N, K, F) HBM round trip. (A decoder fold into the last step was
-measured and rejected: neutral-to-slightly-negative at both bench scales —
-the decoder's XLA cost is already small and the in-kernel stage lengthens
-the last launch's critical path.)
+one full (N, K, F) HBM round trip. Two further folds were measured and
+rejected — the kernel is critical-path-bound, and extra in-kernel stages
+cost more than the XLA ops they replace:
+
+* decoder fold into the last step: neutral-to-slightly-negative at both
+  bench scales (the decoder's XLA cost is already small);
+* edge-GEOMETRY fold (computing rel_disp/rel_dist from positions in VMEM):
+  +0.13 ms at 8k/3D and +0.8 ms at 3.2k/2D — (t, K, dim) blocks lane-pad
+  dim->128 in VMEM and the per-axis min-image arithmetic runs at ~2% lane
+  utilization; XLA's fused gather+wrap chain (after the receiver-broadcast
+  fix in case/features.py) is cheaper.
 
 ``gns_mp_step_reference`` is the pure-jax mirror used for parity tests and
 as the non-TPU fallback; both consume the same flat parameter dicts.
