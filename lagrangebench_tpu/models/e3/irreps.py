@@ -153,30 +153,124 @@ class IrrepsArray:
     lanes by ~mul/128 instead of ~(2l+1)/128 — the difference between 2.8x
     and 42x wasted bandwidth for l=1 hidden features.
 
+    Internally the data lives as **per-m parts**: for each group, a list of
+    ``2l+1`` arrays shaped ``(..., mul)``. Flat storage forced XLA to emit
+    ~60 relayout copies per SEGNN layer (slice/concat), and stacked
+    ``(..., 2l+1, mul)`` chunks tile as (8, 128) with a 2l+1 sublane pad on
+    EVERY op; per-m parts keep each array lane-packed 2D/3D, so tensor
+    products unroll into clean elementwise FMAs + full-width matmuls. The
+    flat ``.array`` view materializes lazily at the few real boundaries
+    (model output, external features) and is cached.
+
     Use ``from_mul_major`` to ingest externally-built features laid out as
     (mul, 2l+1) runs (e.g. a stacked velocity history).
     """
 
-    def __init__(self, irreps: Union[str, Irreps], array: jnp.ndarray):
+    def __init__(self, irreps: Union[str, Irreps], array: jnp.ndarray = None,
+                 parts: List[List[jnp.ndarray]] = None):
         self.irreps = Irreps(irreps)
-        assert array.shape[-1] == self.irreps.dim, (
-            f"array last dim {array.shape[-1]} != irreps dim {self.irreps.dim} "
-            f"({self.irreps})"
+        assert (array is None) != (parts is None), (
+            "exactly one of array / parts required"
         )
-        self.array = array
+        if array is not None:
+            assert array.shape[-1] == self.irreps.dim, (
+                f"array last dim {array.shape[-1]} != irreps dim "
+                f"{self.irreps.dim} ({self.irreps})"
+            )
+        else:
+            assert len(parts) == len(self.irreps)
+            for g, ps in zip(self.irreps, parts):
+                assert len(ps) == g.ir.dim and all(
+                    p.shape[-1] == g.mul for p in ps
+                ), f"parts do not match {g}"
+        self._array = array
+        self._parts = parts
+
+    @classmethod
+    def from_parts(cls, irreps, parts: List[List[jnp.ndarray]]):
+        return cls(irreps, parts=parts)
+
+    @classmethod
+    def from_chunks(cls, irreps, chunks: List[jnp.ndarray]) -> "IrrepsArray":
+        """chunks: per group (..., 2l+1, mul) stacked arrays."""
+        irreps = Irreps(irreps)
+        parts = [
+            [c[..., m, :] for m in range(g.ir.dim)]
+            for g, c in zip(irreps, chunks)
+        ]
+        return cls(irreps, parts=parts)
+
+    @property
+    def array(self) -> jnp.ndarray:
+        if self._array is None:
+            # m-major group flat = [m0 muls..., m1 muls, ...] == part concat
+            flat = [p for ps in self._parts for p in ps]
+            self._array = (
+                flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=-1)
+            )
+        return self._array
+
+    def parts(self) -> List[List[jnp.ndarray]]:
+        if self._parts is None:
+            out = []
+            for g, sl in zip(self.irreps, self.irreps.slices()):
+                c = self._array[..., sl]
+                out.append([
+                    c[..., m * g.mul:(m + 1) * g.mul]
+                    for m in range(g.ir.dim)
+                ])
+            self._parts = out
+        return self._parts
+
+    def chunks(self) -> List[jnp.ndarray]:
+        """Per-group stacked (..., 2l+1, mul) views (materialized)."""
+        return [jnp.stack(ps, axis=-2) for ps in self.parts()]
 
     @property
     def shape(self):
-        return self.array.shape
+        if self._array is not None:
+            return self._array.shape
+        p = self._parts[0][0]
+        return p.shape[:-1] + (self.irreps.dim,)
 
     def groups(self) -> Iterator[Tuple[MulIrrep, jnp.ndarray]]:
-        """Yield (group, array slice reshaped to (..., 2l+1, mul))."""
-        for g, sl in zip(self.irreps, self.irreps.slices()):
-            chunk = self.array[..., sl]
-            yield g, chunk.reshape(chunk.shape[:-1] + (g.ir.dim, g.mul))
+        """Yield (group, chunk shaped (..., 2l+1, mul))."""
+        yield from zip(self.irreps, self.chunks())
+
+    def indexed(self, idx) -> "IrrepsArray":
+        """Gather along the leading axis, part-wise."""
+        return IrrepsArray.from_parts(
+            self.irreps, [[p[idx] for p in ps] for ps in self.parts()]
+        )
+
+    def broadcast_edges(self, k: int) -> "IrrepsArray":
+        """(N, ...) node data -> (N, K, ...) per-edge receiver view (dense
+        layout): a broadcast, never a gather."""
+        return IrrepsArray.from_parts(
+            self.irreps,
+            [
+                [
+                    jnp.broadcast_to(p[:, None], (p.shape[0], k) + p.shape[1:])
+                    for p in ps
+                ]
+                for ps in self.parts()
+            ],
+        )
+
+    def __add__(self, other: "IrrepsArray") -> "IrrepsArray":
+        assert self.irreps == other.irreps, (
+            f"cannot add {self.irreps} and {other.irreps}"
+        )
+        return IrrepsArray.from_parts(
+            self.irreps,
+            [
+                [a + b for a, b in zip(pa, pb)]
+                for pa, pb in zip(self.parts(), other.parts())
+            ],
+        )
 
     def __repr__(self):
-        return f"IrrepsArray({self.irreps}, shape={self.array.shape})"
+        return f"IrrepsArray({self.irreps}, shape={self.shape})"
 
 
 def from_mul_major(irreps: Union[str, Irreps], array: jnp.ndarray) -> IrrepsArray:
@@ -187,18 +281,20 @@ def from_mul_major(irreps: Union[str, Irreps], array: jnp.ndarray) -> IrrepsArra
     storage. Groups with mul == 1 or l == 0 are layout-invariant.
     """
     irreps = Irreps(irreps)
-    chunks = []
+    parts = []
     for g, sl in zip(irreps, irreps.slices()):
         chunk = array[..., sl]
-        if g.mul > 1 and g.ir.dim > 1:
-            chunk = chunk.reshape(chunk.shape[:-1] + (g.mul, g.ir.dim))
-            chunk = jnp.swapaxes(chunk, -1, -2)
-            chunk = chunk.reshape(chunk.shape[:-2] + (g.dim,))
-        chunks.append(chunk)
-    return IrrepsArray(irreps, jnp.concatenate(chunks, axis=-1))
+        chunk = chunk.reshape(chunk.shape[:-1] + (g.mul, g.ir.dim))
+        parts.append([chunk[..., m] for m in range(g.ir.dim)])
+    return IrrepsArray.from_parts(irreps, parts)
 
 
 def concatenate(arrays: List[IrrepsArray]) -> IrrepsArray:
-    """Concatenate IrrepsArrays along the feature axis (group order kept)."""
+    """Concatenate IrrepsArrays along the feature axis (group order kept).
+
+    With parts storage this is a list concatenation — no data movement.
+    """
     irreps = Irreps([g for a in arrays for g in a.irreps])
-    return IrrepsArray(irreps, jnp.concatenate([a.array for a in arrays], axis=-1))
+    return IrrepsArray.from_parts(
+        irreps, [ps for a in arrays for ps in a.parts()]
+    )

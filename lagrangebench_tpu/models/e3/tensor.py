@@ -1,10 +1,20 @@
 """Fused parametrized tensor product and gated nonlinearity.
 
 The SEGNN workhorse (reference lagrangebench/models/segnn.py:44-181 builds it
-from e3nn tensor_product + Linear): here the Clebsch-Gordan contraction and
-the per-path linear mixing fuse into one einsum per (input-pair, output)
-path, which XLA maps onto the MXU as batched matmuls — no intermediate
-full-tensor-product materialization.
+from e3nn tensor_product + Linear): the Clebsch-Gordan contraction and the
+per-path linear mixing fuse into per-output-component arithmetic that maps
+cleanly onto the TPU:
+
+* the CG contraction **unrolls over its nonzero entries** into elementwise
+  FMAs on lane-packed ``(..., mul)`` parts (the m-axes are 3-7 long —
+  keeping them as tensor dimensions forces (8, 128) tile padding and
+  relayout copies on every op; measured ~1/3 of SEGNN runtime);
+* the per-path weight mixing batches into ONE full-width matmul per output
+  component (channels concatenated over paths, contraction >= mul).
+
+The unrolled path requires the right operand's multiplicities to be 1 —
+true for every SEGNN tensor product (y is always the spherical-harmonic
+attributes or a scalar 1). A stacked-einsum fallback covers general y.
 
 Normalization follows the "element" scheme: every output group divides by
 sqrt(total fan-in) where fan-in counts mul_x * mul_y over all contributing
@@ -41,7 +51,7 @@ class O3TensorProduct(nn.Module):
 
     With y=None it degenerates to an equivariant linear layer (y = scalar 1).
     Biases apply to scalar (0e) outputs only. ``compute_dtype="bfloat16"``
-    runs the CG/weight contractions on the MXU fast path with float32
+    runs the weight contractions on the MXU fast path with float32
     accumulation (params stay float32).
     """
 
@@ -55,15 +65,18 @@ class O3TensorProduct(nn.Module):
     ) -> IrrepsArray:
         if y is None:
             y = IrrepsArray(
-                Irreps("1x0e"), jnp.ones(x.array.shape[:-1] + (1,), x.array.dtype)
+                Irreps("1x0e"), jnp.ones(x.shape[:-1] + (1,), jnp.float32)
             )
         output_irreps = Irreps(self.output_irreps)
 
-        x_groups = list(x.groups())
-        y_groups = list(y.groups())
+        x_parts = x.parts()
+        y_parts = y.parts()
+        cdt = jnp.dtype(self.compute_dtype)
+        prec = matmul_precision(cdt)
 
-        chunks = []
+        out_parts: List[List[jnp.ndarray]] = []
         for k_out, g_out in enumerate(output_irreps):
+            d3 = g_out.ir.dim
             paths = _enumerate_paths(x.irreps, y.irreps, g_out.ir)
             use_bias = self.biases and g_out.ir == Irrep(0, 1)
             fan_in = sum(
@@ -72,87 +85,91 @@ class O3TensorProduct(nn.Module):
             if fan_in == 0:
                 # unreachable output: zeros (mirrors the reference's warning
                 # + drop behavior)
-                chunks.append(
-                    jnp.zeros(x.array.shape[:-1] + (g_out.dim,), x.array.dtype)
-                )
+                out_parts.append([
+                    jnp.zeros(x.shape[:-1] + (g_out.mul,), jnp.float32)
+                    for _ in range(d3)
+                ])
                 continue
 
-            cdt = jnp.dtype(self.compute_dtype)
-            prec = matmul_precision(cdt)
             alpha = 1.0 / np.sqrt(fan_in)
-            tps = []
+            # per output component p: list of per-path channel blocks
+            per_p: List[List[jnp.ndarray]] = [[] for _ in range(d3)]
             ws = []
             for i, j in paths:
-                gx, ax = x_groups[i]  # ax: (..., mul_x, 2l1+1)
-                gy, ay = y_groups[j]
-                C = jnp.asarray(
-                    clebsch_gordan(gx.ir.l, gy.ir.l, g_out.ir.l), dtype=cdt
-                )
+                gx = x.irreps[i]
+                gy = y.irreps[j]
+                C = clebsch_gordan(gx.ir.l, gy.ir.l, g_out.ir.l)  # numpy
                 w = self.param(
                     f"w_{k_out}_{i}_{j}",
                     nn.initializers.normal(stddev=1.0),
                     (gx.mul * gy.mul, g_out.mul),
                     jnp.float32,
                 )
-                # m-major layouts: ax (..., m, u); ay (..., n, v)
+                ws.append(w)
                 if gy.mul == 1:
-                    # attribute-style right operand: pre-contract y with the
-                    # CG tensor. The (y, C) contraction is independent of x,
-                    # so XLA CSE reuses it across every layer/block that
-                    # shares the attributes.
-                    T = jnp.einsum(
-                        "...n,mnp->...mp",
-                        ay[..., 0].astype(cdt),
-                        C,
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )
-                    tp = jnp.einsum(
-                        "...mu,...mp->...pu",
-                        ax.astype(cdt),
-                        T.astype(cdt),
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )  # (..., p, u): channel order u (v == 1)
+                    # unrolled CG: elementwise FMAs on (..., mul_x) parts;
+                    # (channel order: u, matching the w rows)
+                    for p in range(d3):
+                        acc = None
+                        for m in range(gx.ir.dim):
+                            for nn_ in range(gy.ir.dim):
+                                c = float(C[m, nn_, p])
+                                if c == 0.0:
+                                    continue
+                                term = x_parts[i][m] * (
+                                    c * y_parts[j][nn_]
+                                )
+                                acc = term if acc is None else acc + term
+                        if acc is None:
+                            acc = jnp.zeros_like(x_parts[i][0])
+                        per_p[p].append(acc)
                 else:
+                    # general fallback: stacked einsum (not on the SEGNN
+                    # path — y there is attributes with mul == 1)
+                    ax = jnp.stack(x_parts[i], axis=-2)  # (..., d1, u)
+                    ay = jnp.stack(y_parts[j], axis=-2)  # (..., d2, v)
                     tp = jnp.einsum(
                         "...mu,...nv,mnp->...puv",
                         ax.astype(cdt),
                         ay.astype(cdt),
-                        C,
+                        jnp.asarray(C, cdt),
                         preferred_element_type=jnp.float32,
                         precision=prec,
                     )
-                    tp = tp.reshape(
-                        tp.shape[:-2] + (gx.mul * gy.mul,)
-                    )  # (..., p, u*v): channel order matches w rows
-                tps.append(tp)
-                ws.append(w)
+                    tp = tp.reshape(tp.shape[:-2] + (gx.mul * gy.mul,))
+                    for p in range(d3):
+                        per_p[p].append(tp[..., p, :])
 
-            # one channel-batched weight matmul per output group instead of
-            # one per path: fewer launches, better MXU utilization
-            tp_all = tps[0] if len(tps) == 1 else jnp.concatenate(tps, axis=-1)
+            # one channel-batched weight matmul per output component:
+            # full-width contraction on the MXU, no tiny m-axes
             w_all = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=0)
-            out = jnp.einsum(
-                "...pk,ko->...po",
-                tp_all.astype(cdt),
-                w_all.astype(cdt),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-
-            out = out * alpha
+            w_all = w_all.astype(cdt)
+            b = None
             if use_bias:
                 b = self.param(
                     f"b_{k_out}",
                     nn.initializers.zeros_init(),
                     (g_out.mul,),
-                    x.array.dtype,
+                    jnp.float32,
                 )
-                out = out + b  # (..., p=1, o) + (o,)
-            chunks.append(out.reshape(out.shape[:-2] + (g_out.dim,)))
+            group = []
+            for p in range(d3):
+                tp_all = (
+                    per_p[p][0]
+                    if len(per_p[p]) == 1
+                    else jnp.concatenate(per_p[p], axis=-1)
+                )
+                o = jnp.dot(
+                    tp_all.astype(cdt), w_all,
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                o = o * alpha
+                if b is not None:
+                    o = o + b
+                group.append(o)
+            out_parts.append(group)
 
-        return IrrepsArray(output_irreps, jnp.concatenate(chunks, axis=-1))
+        return IrrepsArray.from_parts(output_irreps, out_parts)
 
 
 def gate(
@@ -168,28 +185,26 @@ def gate(
     scalar groups pass through `scalar_activation`; each non-scalar channel
     is multiplied by its activated gate.
     """
-    groups = list(z.groups())
-    first, a_first = groups[0]
+    parts = z.parts()
+    first = z.irreps[0]
     assert first.ir == Irrep(0, 1) and first.mul == n_gates, (
         f"first group must hold the {n_gates} gates, got {first}"
     )
-    # m-major: a_first is (..., 1, n_gates)
-    gates = gate_activation(a_first[..., 0, :])  # (..., n_gates)
+    gates = gate_activation(parts[0][0])  # (..., n_gates)
 
-    out_groups = []
+    out_parts = []
     out_irreps = []
     used = 0
-    for g, a in groups[1:]:  # a: (..., 2l+1, mul)
+    for g, ps in zip(z.irreps[1:], parts[1:]):
         if g.ir.l == 0:
-            out = scalar_activation(a)
+            out_parts.append([scalar_activation(ps[0])])
         else:
-            gsel = gates[..., used : used + g.mul]
+            gsel = gates[..., used: used + g.mul]
             used += g.mul
-            out = a * gsel[..., None, :]
-        out_groups.append(out.reshape(out.shape[:-2] + (g.dim,)))
+            out_parts.append([p * gsel for p in ps])
         out_irreps.append(g)
     assert used == n_gates, f"gate count mismatch: used {used} of {n_gates}"
-    return IrrepsArray(Irreps(out_irreps), jnp.concatenate(out_groups, axis=-1))
+    return IrrepsArray.from_parts(Irreps(out_irreps), out_parts)
 
 
 class O3TensorProductGate(nn.Module):
@@ -212,7 +227,10 @@ class O3TensorProductGate(nn.Module):
                 output_irreps, biases=self.biases,
                 compute_dtype=self.compute_dtype,
             )(x, y)
-            return IrrepsArray(z.irreps, self.scalar_activation(z.array))
+            return IrrepsArray.from_parts(
+                z.irreps,
+                [[self.scalar_activation(p) for p in ps] for ps in z.parts()],
+            )
         tp_irreps = Irreps([MulIrrep(n_gates, Irrep(0, 1))]) + output_irreps
         z = O3TensorProduct(
             tp_irreps, biases=self.biases, compute_dtype=self.compute_dtype

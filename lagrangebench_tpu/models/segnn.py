@@ -99,13 +99,16 @@ class SEGNNLayer(nn.Module):
         senders: jnp.ndarray,
         receivers: jnp.ndarray,
     ) -> IrrepsArray:
-        n = nodes.array.shape[0]
+        n = nodes.shape[0]
 
-        # message: phi_m steered by edge attributes
-        gathered = [
-            IrrepsArray(nodes.irreps, nodes.array[senders]),
-            IrrepsArray(nodes.irreps, nodes.array[receivers]),
-        ]
+        # message: phi_m steered by edge attributes (all chunk-wise: no
+        # slice/concat relayout copies, and the dense-layout receiver side
+        # is a broadcast, not a row-iota gather)
+        if receivers.ndim == 2:
+            recv_nodes = nodes.broadcast_edges(receivers.shape[1])
+        else:
+            recv_nodes = nodes.indexed(receivers)
+        gathered = [nodes.indexed(senders), recv_nodes]
         if additional_message_features is not None:
             gathered.append(additional_message_features)
         msg = concatenate(gathered)
@@ -114,9 +117,17 @@ class SEGNNLayer(nn.Module):
                 self.output_irreps, compute_dtype=self.compute_dtype
             )(msg, edge_attributes)
 
-        # aggregate to receivers (padded edges masked / dropped)
-        agg = aggregate_to_receivers(msg.array, receivers, senders, n)
-        agg = IrrepsArray(msg.irreps, agg)
+        # aggregate to receivers (padded edges masked / dropped), part-wise
+        agg = IrrepsArray.from_parts(
+            msg.irreps,
+            [
+                [
+                    aggregate_to_receivers(p, receivers, senders, n)
+                    for p in ps
+                ]
+                for ps in msg.parts()
+            ],
+        )
 
         # update: phi_f steered by node attributes, residual
         x = concatenate([nodes, agg])
@@ -128,7 +139,7 @@ class SEGNNLayer(nn.Module):
             self.output_irreps, compute_dtype=self.compute_dtype
         )(x, node_attributes)
 
-        out = IrrepsArray(nodes.irreps, nodes.array + update.array)
+        out = nodes + update
         if self.norm == "instance":
             out = _instance_norm(out)
         return out
@@ -137,11 +148,12 @@ class SEGNNLayer(nn.Module):
 def _instance_norm(z: IrrepsArray, eps: float = 1e-6) -> IrrepsArray:
     """RMS-normalize each irrep channel over the node axis."""
     outs = []
-    for g, a in z.groups():  # a: (N, 2l+1, mul) m-major
-        norm2 = jnp.mean(jnp.sum(a**2, axis=-2), axis=0, keepdims=True)  # (1, mul)
-        a = a / jnp.sqrt(norm2 + eps)[..., None, :]
-        outs.append(a.reshape(a.shape[:-2] + (g.dim,)))
-    return IrrepsArray(z.irreps, jnp.concatenate(outs, axis=-1))
+    for ps in z.parts():  # per-m (N, mul) parts
+        # mean_N sum_m p_m^2 == sum_m mean_N p_m^2, shape (1, mul)
+        norm2 = sum(jnp.mean(p**2, axis=0, keepdims=True) for p in ps)
+        inv = 1.0 / jnp.sqrt(norm2 + eps)
+        outs.append([p * inv for p in ps])
+    return IrrepsArray.from_parts(z.irreps, outs)
 
 
 class SEGNN(BaseModel):
