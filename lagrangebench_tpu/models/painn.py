@@ -137,22 +137,19 @@ class PaiNNLayer(nn.Module):
             # ONE wide gather per layer: gathers are row-count-bound on TPU
             # (width nearly free), so pack x and all vector axes together
             packed = jnp.concatenate([x, v.reshape(n, vdim * h)], axis=-1)
-            g = packed[senders]  # (N, K, 3H + dim*H); padded rows masked below
-            xg = g[..., : 3 * h]
-            msg = Wij * xg
-            ds_e = msg[..., :h]
-            dv1_e = msg[..., h : 2 * h]
-            dv2_e = msg[..., 2 * h :]
-            mask = (senders < n)[..., None].astype(msg.dtype)
-            ds = jnp.sum(ds_e * mask, axis=1)
-            dv_axes = []
-            for d in range(vdim):
-                vg_d = g[..., (3 + d) * h : (4 + d) * h]  # (N, K, H)
-                # stored dir points sender -> receiver; the flipped form
-                # needs receiver -> sender, hence the minus
-                dv_d = (-dir_ij[..., d : d + 1]) * dv1_e + vg_d * dv2_e
-                dv_axes.append(jnp.sum(dv_d * mask, axis=1))
-            dv = jnp.stack(dv_axes, axis=1)  # (N, dim, H)
+            g = packed[senders]  # (N, K, 3H + dim*H); padded rows masked
+            # pre-masking the filters zeroes every padded slot's message;
+            # the fused kernel then needs no separate mask input. The
+            # stored dir points sender -> receiver; the flipped (dense)
+            # form needs receiver -> sender, hence the minus.
+            mask = (senders < n)[..., None].astype(Wij.dtype)
+            from ..ops.painn_msg import painn_message
+
+            ds, dv_flat = painn_message(
+                g, Wij * mask, -dir_ij.astype(Wij.dtype), h
+            )
+            ds = ds.astype(s.dtype)
+            dv = dv_flat.reshape(n, vdim, h).astype(v.dtype)
         else:
             # -- sparse reference path: gathers from receivers, scatters to
             # senders (reference painn.py:272-309)

@@ -113,3 +113,40 @@ def test_features_2d_to_3d_dense_layout():
     out = features_2d_to_3d(sparse)
     assert out["rel_disp"].shape == (20, 3)
     assert out["vel_hist"].shape == (5, 9)
+
+
+def test_painn_message_kernel_matches_mirror():
+    """Interpret-mode fused PaiNN message kernel == the pure-jax mirror,
+    values and (custom-VJP) gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lagrangebench_tpu.ops.painn_msg import (
+        painn_message,
+        painn_message_reference,
+    )
+
+    n, k, h, dim = 48, 8, 32, 2
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(n, k, (3 + dim) * h)), jnp.float32)
+    wij = jnp.asarray(rng.normal(size=(n, k, 3 * h)), jnp.float32)
+    nd = jnp.asarray(rng.normal(size=(n, k, dim)), jnp.float32)
+
+    ds_r, dv_r = painn_message_reference(g, wij, nd, h)
+    ds_k, dv_k = painn_message(g, wij, nd, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(ds_k), np.asarray(ds_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv_k), np.asarray(dv_r), atol=1e-5)
+
+    def loss_via(fn):
+        def loss(g_, w_, n_):
+            a, b = fn(g_, w_, n_)
+            return jnp.sum(a**2) + jnp.sum(b**2)
+        return jax.grad(loss, argnums=(0, 1, 2))(g, wij, nd)
+
+    g_ref = loss_via(lambda *a: painn_message_reference(*a, h))
+    g_k = loss_via(lambda *a: painn_message(*a, h, interpret=True))
+    for a, b in zip(g_ref, g_k):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
+        )
