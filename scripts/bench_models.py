@@ -51,12 +51,15 @@ def make_case(n, dim, isl, magnitudes, name, mp, latent, compute_dtype):
     return case, metadata, cfg_model
 
 
-def bench_forward(name, n, dim, mp, latent, magnitudes=False, n_iter=20):
+def bench_forward(name, n, dim, mp, latent, magnitudes=False, n_iter=20,
+                  fused=False):
     isl = 6
     case, metadata, cfg_model = make_case(
         n, dim, isl, magnitudes, name, mp, latent,
         "bfloat16",
     )
+    if fused:
+        cfg_model.fused_processor = True
     stats = {
         "velocity": {"mean": jnp.zeros(dim), "std": jnp.ones(dim)},
         "acceleration": {"mean": jnp.zeros(dim), "std": jnp.ones(dim)},
@@ -91,11 +94,14 @@ if __name__ == "__main__":
     results = {}
     # reference A6000 forward times (docs/pages/baselines.rst; BASELINE.md)
     reference = {
-        "gns_rpf3d": 30.5, "segnn_rpf3d": 154.3,
+        "gns_rpf3d": 30.5, "gns_rpf3d_fused": 30.5, "segnn_rpf3d": 154.3,
         "egnn_rpf2d": 60.8, "painn_rpf2d": 9.1,
     }
     results["gns_rpf3d"] = bench_forward("gns", 8000, 3, 10, 128)
     print("gns done", results, flush=True)
+    results["gns_rpf3d_fused"] = bench_forward("gns", 8000, 3, 10, 128,
+                                               fused=True)
+    print("gns fused done", results, flush=True)
     results["segnn_rpf3d"] = bench_forward("segnn", 8000, 3, 10, 64)
     print("segnn done", results, flush=True)
     results["egnn_rpf2d"] = bench_forward("egnn", 3200, 2, 5, 128, True, n_iter=10)
