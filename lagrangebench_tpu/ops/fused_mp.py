@@ -203,13 +203,14 @@ def _pick_tile(n: int, k: int, tile: int, row_budget: int = 4800) -> int:
     N exactly — padding 5 input tensors costs ~0.5 ms/step at bench scale.
     """
     cap = max((row_budget // max(k, 1)) // 8 * 8, 8)
-    tile = min(tile, n, cap)
-    if n % tile:
-        hi = min(max(tile * 2, 8), 512, cap)
-        for cand in range(hi - hi % 8, 7, -8):
-            if n % cand == 0:
-                return cand
-    return tile
+    # always take the largest in-budget divisor: fewer grid steps amortize
+    # per-tile overheads (a smaller dividing tile is NOT preferred — at
+    # 16k rows, tile 128 vs 200 costs ~1 ms/step across 10 MP launches)
+    hi = min(max(tile * 2, 8), 512, cap, n)
+    for cand in range(hi - hi % 8, 7, -8):
+        if n % cand == 0:
+            return cand
+    return min(tile, n, cap)
 
 
 def _row_params(p: Dict[str, jnp.ndarray], names, f: int, cdt):
