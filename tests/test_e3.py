@@ -202,3 +202,66 @@ def test_jax_spherical_harmonics_high_l_matches_numpy():
         np.testing.assert_allclose(
             got[:, sl], _eval_basis(l, vn), atol=1e-5
         )
+
+
+def test_tensor_product_general_y_equivariance():
+    """The stacked-einsum fallback (right operand with mul > 1) and the
+    lmax=2 unrolled path are both equivariant."""
+    irreps_x = Irreps("2x0e + 2x1o + 1x2e")
+    irreps_y = Irreps("2x0e + 2x1o")  # mul > 1: general fallback
+    irreps_out = Irreps("2x0e + 2x1o + 1x2e")
+
+    mod = O3TensorProduct(irreps_out)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, irreps_x.dim)).astype(np.float32)
+    y = rng.normal(size=(4, irreps_y.dim)).astype(np.float32)
+    params = mod.init(
+        jax.random.PRNGKey(0),
+        IrrepsArray(irreps_x, jnp.asarray(x)),
+        IrrepsArray(irreps_y, jnp.asarray(y)),
+    )
+
+    def apply(xa, ya):
+        return np.asarray(
+            mod.apply(
+                params,
+                IrrepsArray(irreps_x, jnp.asarray(xa)),
+                IrrepsArray(irreps_y, jnp.asarray(ya)),
+            ).array
+        )
+
+    R = random_rotation(4)
+    out_then_rot = _rotate(irreps_out, apply(x, y), R)
+    rot_then_out = apply(_rotate(irreps_x, x, R), _rotate(irreps_y, y, R))
+    np.testing.assert_allclose(rot_then_out, out_then_rot, atol=3e-5)
+
+
+def test_tensor_product_attrs_lmax2_equivariance():
+    """lmax=2 attributes exercise the unrolled CG path at higher degree."""
+    irreps_x = Irreps("3x0e + 2x1o + 2x2e")
+    irreps_y = Irreps.spherical_harmonics(2)
+    irreps_out = Irreps("2x0e + 2x1o + 1x2e")
+
+    mod = O3TensorProduct(irreps_out)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(6, irreps_x.dim)).astype(np.float32)
+    y = rng.normal(size=(6, irreps_y.dim)).astype(np.float32)
+    params = mod.init(
+        jax.random.PRNGKey(1),
+        IrrepsArray(irreps_x, jnp.asarray(x)),
+        IrrepsArray(irreps_y, jnp.asarray(y)),
+    )
+
+    def apply(xa, ya):
+        return np.asarray(
+            mod.apply(
+                params,
+                IrrepsArray(irreps_x, jnp.asarray(xa)),
+                IrrepsArray(irreps_y, jnp.asarray(ya)),
+            ).array
+        )
+
+    R = random_rotation(6)
+    out_then_rot = _rotate(irreps_out, apply(x, y), R)
+    rot_then_out = apply(_rotate(irreps_x, x, R), _rotate(irreps_y, y, R))
+    np.testing.assert_allclose(rot_then_out, out_then_rot, atol=3e-5)
