@@ -237,7 +237,11 @@ def _launch_fused(e, hs_gath, hr_proj, h, mask, p, enc, tile, interpret):
     n, k, fe = e.shape
     f = hs_gath.shape[-1]
     cdt = hs_gath.dtype
-    tile = _pick_tile(n, k, tile)
+    # the enc variant carries the raw-feature buffer + encoder
+    # intermediates on top of the plain kernel's state: tile=200 x K=24
+    # measures 16.27M scoped VMEM at 64k rows (0.27M over), so it gets a
+    # smaller budget
+    tile = _pick_tile(n, k, tile, row_budget=4400 if enc else 4800)
     n_pad = -n % tile
     if n_pad:
         pad3 = ((0, n_pad), (0, 0), (0, 0))

@@ -31,6 +31,7 @@ particles (index >= num_particles) are excluded.
 from __future__ import annotations
 
 import math
+import warnings
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
@@ -481,6 +482,7 @@ def neighbor_list(
     periodic_all = any(pbc)
 
     def _count_and_caps(position, num_particles) -> Tuple[int, int]:
+        nonlocal backend
         """Host-side exact edge count and cell capacity for this sample.
 
         Host-only (no device ops): on remote-compiled TPU backends every
@@ -533,19 +535,46 @@ def neighbor_list(
                     occ = np.bincount(cid, minlength=n_bins)
                     max_occ = int(occ.max()) if occ.size else 1
                     cap = max(_round_up(max_occ * capacity_multiplier, 8), 8)
+                    # the scan kernel's VMEM footprint (see
+                    # neighbors_pallas: (C, CW) temporaries + the (CW, CW)
+                    # pair triangle) must fit the budget — column occupancy
+                    # grows ~N^(1/3), so very large systems have no
+                    # admissible column grid at all
+                    cw = (3 ** (len(box) - 1)) * cap
+                    if cap * cw * 32 + cw * cw * 2 >= 12 * 1024 * 1024:
+                        continue
                     cost = n_bins * cap * cap
                     if best is None or cost < best[0]:
                         best = (cost, ncs, cap)
-                assert best is not None, "no admissible pallas column grid"
-                _, ncs, cell_cap = best
-                col_sizes = [float(b) / nc for b, nc in zip(box[:-1], ncs)]
-                col_grid = _Grid(
-                    cells_per_side=tuple(ncs) + (1,),
-                    cell_size=tuple(col_sizes) + (float(box[-1]),),
-                    num_cells=int(np.prod(ncs)),
-                    offsets=grid.offsets,
-                    pbc=grid.pbc,
-                )
+                if best is None:
+                    # no column grid fits the kernel's VMEM budget: fall
+                    # back to the XLA celllist backend for this instance
+                    warnings.warn(
+                        "pallas neighbor backend: column occupancy too "
+                        "large for the kernel's VMEM budget at this system "
+                        "size; falling back to the celllist backend"
+                    )
+                    backend = "celllist"
+                    cid = coords[:, 0]
+                    for d in range(1, len(grid.cells_per_side)):
+                        cid = cid * grid.cells_per_side[d] + coords[:, d]
+                    occ = np.bincount(cid, minlength=grid.num_cells)
+                    max_occ = int(occ.max()) if occ.size else 1
+                    cell_cap = max(
+                        _round_up(max_occ * capacity_multiplier, 4), 4
+                    )
+                else:
+                    _, ncs, cell_cap = best
+                    col_sizes = [
+                        float(b) / nc for b, nc in zip(box[:-1], ncs)
+                    ]
+                    col_grid = _Grid(
+                        cells_per_side=tuple(ncs) + (1,),
+                        cell_size=tuple(col_sizes) + (float(box[-1]),),
+                        num_cells=int(np.prod(ncs)),
+                        offsets=grid.offsets,
+                        pbc=grid.pbc,
+                    )
             else:
                 cid = coords[:, 0]
                 for d in range(1, len(grid.cells_per_side)):

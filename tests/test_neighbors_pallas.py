@@ -172,3 +172,49 @@ def test_pallas_batched_overflow_per_sample():
     ovf = np.asarray(nl_b.did_buffer_overflow)
     assert ovf.shape == (b,)
     assert ovf.any()
+
+
+def test_pallas_vmem_fallback_to_celllist():
+    """Column occupancy beyond the kernel's VMEM budget falls back to the
+    XLA celllist backend instead of failing (large-N robustness).
+
+    A tall box concentrates all particles into 9 (x, y) columns (high
+    column occupancy -> VMEM-inadmissible) while keeping per-row neighbor
+    counts small, so the test stays fast on CPU.
+    """
+    import warnings as _w
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lagrangebench_tpu.ops import neighbor_list, periodic
+
+    rng = np.random.default_rng(0)
+    n, dim = 1400, 3
+    box = [1.0, 1.0, 8.0]
+    cutoff = 0.33  # 3 cells/side in x/y -> 9 columns, ~155 particles each
+    pos = np.stack([
+        rng.uniform(0, 1, n), rng.uniform(0, 1, n), rng.uniform(0, 8, n)
+    ], axis=1)
+    pos = jnp.asarray(pos, jnp.float32)
+    disp, _ = periodic(jnp.asarray(box))
+    fns = neighbor_list(disp, box, cutoff, backend="pallas",
+                        capacity_multiplier=1.25, format="dense",
+                        pbc=[True] * dim)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        nbrs = fns.allocate(pos)
+        assert any("VMEM budget" in str(r.message) for r in rec)
+    assert not bool(nbrs.did_buffer_overflow)
+
+    # edges match the celllist reference
+    ref_fns = neighbor_list(disp, box, cutoff, backend="celllist",
+                            capacity_multiplier=1.25, format="dense",
+                            pbc=[True] * dim)
+    ref = ref_fns.allocate(pos)
+    a = np.asarray(nbrs.idx)
+    b = np.asarray(ref.idx)
+    for row in range(0, n, 101):
+        sa = set(a[row][a[row] < n])
+        sb = set(b[row][b[row] < n])
+        assert sa == sb, f"row {row} differs"
