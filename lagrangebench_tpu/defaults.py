@@ -10,8 +10,9 @@ TPU-first deltas (documented here, not silently changed):
   cell-list). The reference backend names (``jaxmd_vmap``, ``jaxmd_scan``,
   ``matscipy``) are accepted as aliases and mapped to our backends so
   reference configs run as-is.
-* The training DataLoader reads ``train.batch_size`` (the reference reads
-  ``eval.train.batch_size`` — a quirk we do not copy, reference
+* The training DataLoader reads ``train.batch_size`` and the in-training
+  validation loader reads ``eval.train.batch_size`` (the reference aliases
+  BOTH to eval-side batch sizes — a quirk we do not copy, reference
   lagrangebench/train/trainer.py:170-173).
 * New ``parallel`` section for device-mesh data parallelism over ICI.
 """
@@ -60,9 +61,12 @@ def set_defaults() -> Config:
     # MLP compute precision: "bfloat16" engages the TPU MXU full-rate path
     # (params stay float32); "float32" for exact-parity work
     cfg.model.compute_dtype = "float32"
-    # GNS inference fast path: one fused Pallas kernel per MP step.
-    # Different parameter layout — convert trained checkpoints with
-    # models.gns.fused_params_from_standard
+    # GNS fast path: one fused Pallas kernel per MP step (forward AND
+    # backward — trainable). Requires the dense edge layout and
+    # num_mlp_layers=2; falls back to the identical-math XLA mirror
+    # off-TPU. Its parameter layout differs from the standard processor —
+    # convert existing standard checkpoints with
+    # models.gns.fused_params_from_standard. Shipped GNS presets enable it.
     cfg.model.fused_processor = False
 
     # SEGNN-only
@@ -153,7 +157,16 @@ defaults = set_defaults()
 
 
 def resolve_backend(backend: str) -> str:
-    """Map reference backend aliases to TPU-native backend names."""
+    """Map reference backend aliases to TPU-native backend names.
+
+    ``auto`` picks the Pallas cell-list kernel on TPU (the fast path the
+    benchmarks run) and the XLA celllist elsewhere (the Pallas kernel only
+    runs in slow interpreter mode off-TPU).
+    """
+    if backend == "auto":
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "celllist"
     backend = BACKEND_ALIASES.get(backend, backend)
     assert backend in VALID_BACKENDS, (
         f"Unknown neighbors backend {backend!r}; valid: {VALID_BACKENDS} "

@@ -52,6 +52,16 @@ ENC_PARAM_NAMES = ("enc_w1", "enc_b1", "enc_w2", "enc_b2",
                    "enc_ln_scale", "enc_ln_bias")
 
 
+def _mirror_precision(cdt):
+    """Matmul precision for the pure-jax mirrors (same rule as
+    models.utils.matmul_precision, duplicated to avoid an import cycle):
+    float32 parity mode must request "highest" or XLA's DEFAULT truncates
+    the MXU operands to bfloat16 — which would make the custom-VJP
+    backward rematerialize the edge encoder at lower precision than the
+    fused forward kernel ran at."""
+    return None if jnp.dtype(cdt) == jnp.bfloat16 else "highest"
+
+
 def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps=1e-5):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
@@ -66,11 +76,12 @@ def encode_edges_reference(raw: jnp.ndarray, enc: Dict[str, jnp.ndarray],
     Mirror of the in-kernel edge encoder: e = LN(relu(raw@W1+b1)@W2+b2).
     """
     f32 = jnp.float32
+    prec = _mirror_precision(cdt)
     x = jnp.dot(raw.astype(cdt), enc["enc_w1"].astype(cdt),
-                preferred_element_type=f32) + enc["enc_b1"]
+                preferred_element_type=f32, precision=prec) + enc["enc_b1"]
     x = jnp.maximum(x, 0.0)
     x = jnp.dot(x.astype(cdt), enc["enc_w2"].astype(cdt),
-                preferred_element_type=f32) + enc["enc_b2"]
+                preferred_element_type=f32, precision=prec) + enc["enc_b2"]
     return _layernorm(x, enc["enc_ln_scale"], enc["enc_ln_bias"]).astype(cdt)
 
 
@@ -87,28 +98,31 @@ def gns_mp_step_reference(
     if enc is not None:
         e = encode_edges_reference(e, enc, hs_gath.dtype)
     f32 = jnp.float32
+    prec = _mirror_precision(e.dtype)
     first = (
-        jnp.dot(e, p["w_e"].astype(e.dtype), preferred_element_type=f32)
+        jnp.dot(e, p["w_e"].astype(e.dtype), preferred_element_type=f32,
+                precision=prec)
         + hs_gath.astype(f32)
         + hr_proj.astype(f32)[:, None, :]
         + p["b1"]
     )
     x = jnp.maximum(first, 0.0)
     x = jnp.dot(x.astype(e.dtype), p["w2"].astype(e.dtype),
-                preferred_element_type=f32) + p["b2"]
+                preferred_element_type=f32, precision=prec) + p["b2"]
     messages = _layernorm(x, p["ln1_scale"], p["ln1_bias"])
     e_out = e.astype(f32) + messages
 
     agg = jnp.sum(messages * mask[..., None].astype(f32), axis=1)
     node_first = (
-        jnp.dot(h, p["w_nh"].astype(h.dtype), preferred_element_type=f32)
+        jnp.dot(h, p["w_nh"].astype(h.dtype), preferred_element_type=f32,
+                precision=prec)
         + jnp.dot(agg.astype(h.dtype), p["w_na"].astype(h.dtype),
-                  preferred_element_type=f32)
+                  preferred_element_type=f32, precision=prec)
         + p["bn1"]
     )
     y = jnp.maximum(node_first, 0.0)
     y = jnp.dot(y.astype(h.dtype), p["wn2"].astype(h.dtype),
-                preferred_element_type=f32) + p["bn2"]
+                preferred_element_type=f32, precision=prec) + p["bn2"]
     h_out = h.astype(f32) + _layernorm(y, p["ln2_scale"], p["ln2_bias"])
     return e_out.astype(e.dtype), h_out.astype(h.dtype)
 
@@ -198,10 +212,15 @@ def _make_fused_kernel(has_enc: bool):
 def _pick_tile(n: int, k: int, tile: int, row_budget: int = 4800) -> int:
     """Receiver-tile size bounded by VMEM: tile*K edge rows per launch.
 
-    ``row_budget`` is calibrated on v5e (16 MB VMEM): tile=200 x K=24 is the
-    largest measured-good forward configuration. Prefers a tile that divides
-    N exactly — padding 5 input tensors costs ~0.5 ms/step at bench scale.
+    ``row_budget`` is calibrated against the default 16 MiB scoped-VMEM
+    limit (tile=200 x K=24 is the largest measured-good forward
+    configuration on v5e) and scales linearly if the limit is raised —
+    see ops.device. Prefers a tile that divides N exactly — padding 5
+    input tensors costs ~0.5 ms/step at bench scale.
     """
+    from .device import scale_budget
+
+    row_budget = scale_budget(row_budget)
     cap = max((row_budget // max(k, 1)) // 8 * 8, 8)
     # always take the largest in-budget divisor: fewer grid steps amortize
     # per-tile overheads (a smaller dividing tile is NOT preferred — at

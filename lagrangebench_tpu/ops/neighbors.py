@@ -41,6 +41,15 @@ import numpy as np
 from flax import struct
 
 
+def _kernel_vmem_budget() -> int:
+    """Admissibility budget for the pallas scan kernel's live state: 12 MiB
+    of the default 16 MiB scoped-VMEM limit (headroom for pipeline
+    double-buffering), scaled if the limit is raised (ops.device)."""
+    from .device import scale_budget
+
+    return scale_budget(12 * 1024 * 1024)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((int(x) + m - 1) // m) * m
 
@@ -481,14 +490,20 @@ def neighbor_list(
     # reference's space selection (periodic if ANY dim is periodic)
     periodic_all = any(pbc)
 
-    def _count_and_caps(position, num_particles) -> Tuple[int, int]:
-        nonlocal backend
+    def _count_and_caps(position, num_particles) -> Tuple[int, int, object, str]:
         """Host-side exact edge count and cell capacity for this sample.
 
         Host-only (no device ops): on remote-compiled TPU backends every
         eager jax op pays a compile round-trip. Uses the native C++ cell
         list when available (O(N)), else chunked numpy (O(N^2)).
+
+        Returns the EFFECTIVE backend for this allocation as well: a
+        pallas-inadmissible sample (column occupancy beyond the kernel's
+        VMEM budget) falls back to celllist for THIS allocation only —
+        later allocations with admissible occupancy get the fast kernel
+        back.
         """
+        eff_backend = backend
         pos = np.asarray(position, dtype=np.float64)
         n = pos.shape[0]
         npart = n if num_particles is None else int(num_particles)
@@ -501,7 +516,7 @@ def neighbor_list(
             coords = np.clip(
                 np.floor(pos_valid / size).astype(np.int64), 0, cps - 1
             )
-            if backend == "pallas":
+            if eff_backend == "pallas":
                 # the pallas kernel bins by COLUMN (first dim-1 cell axes;
                 # the last axis is handled by in-kernel min-image), so its
                 # capacity is the max column occupancy. Column cell size is
@@ -541,20 +556,20 @@ def neighbor_list(
                     # grows ~N^(1/3), so very large systems have no
                     # admissible column grid at all
                     cw = (3 ** (len(box) - 1)) * cap
-                    if cap * cw * 32 + cw * cw * 2 >= 12 * 1024 * 1024:
+                    if cap * cw * 32 + cw * cw * 2 >= _kernel_vmem_budget():
                         continue
                     cost = n_bins * cap * cap
                     if best is None or cost < best[0]:
                         best = (cost, ncs, cap)
                 if best is None:
                     # no column grid fits the kernel's VMEM budget: fall
-                    # back to the XLA celllist backend for this instance
+                    # back to the XLA celllist backend for this allocation
                     warnings.warn(
                         "pallas neighbor backend: column occupancy too "
                         "large for the kernel's VMEM budget at this system "
                         "size; falling back to the celllist backend"
                     )
-                    backend = "celllist"
+                    eff_backend = "celllist"
                     cid = coords[:, 0]
                     for d in range(1, len(grid.cells_per_side)):
                         cid = cid * grid.cells_per_side[d] + coords[:, d]
@@ -621,22 +636,26 @@ def neighbor_list(
             # whole-rollout at K=20 vs K=24 on the 2D bench). XLA backends
             # pay per slot with no alignment win, so they keep the tighter
             # rounding.
-            k_align = 8 if backend == "pallas" else 4
+            k_align = 8 if eff_backend == "pallas" else 4
             k_cap = max(
                 _round_up(max(max_k, 1) * capacity_multiplier, k_align),
                 k_align,
             )
-            return k_cap, cell_cap, col_grid
-        return e_cap, cell_cap, col_grid
+            return k_cap, cell_cap, col_grid, eff_backend
+        return e_cap, cell_cap, col_grid, eff_backend
 
-    def _make_update(e_cap: int, cell_cap: int, col_grid=None) -> Callable:
+    def _make_update(
+        e_cap: int, cell_cap: int, col_grid=None, eff_backend=None
+    ) -> Callable:
         """e_cap is the per-row K capacity in dense format."""
+        if eff_backend is None:
+            eff_backend = backend
         if format == "dense":
-            if backend == "pallas":
+            if eff_backend == "pallas":
                 edges = edges_fn_factory(
                     e_cap=e_cap, cell_cap=cell_cap, grid=col_grid
                 )
-            elif backend == "celllist":
+            elif eff_backend == "celllist":
                 def edges(position, num_particles):
                     return _celllist_dense(
                         position, num_particles, displacement_fn, cutoff,
@@ -654,12 +673,12 @@ def neighbor_list(
                 return idx, overflow | prev_overflow
 
         else:
-            if backend == "allpairs":
+            if eff_backend == "allpairs":
                 def edges(position, num_particles):
                     return _allpairs_edges(
                         position, num_particles, displacement_fn, cutoff, e_cap
                     )
-            elif backend == "celllist":
+            elif eff_backend == "celllist":
                 def edges(position, num_particles):
                     return _celllist_edges(
                         position,
@@ -715,15 +734,17 @@ def neighbor_list(
         ``capacity_boost`` scales the buffer beyond the standard multiplier —
         used by rollout retry loops to escalate after an overflow.
         """
-        e_cap, cell_cap, col_grid = _count_and_caps(position, num_particles)
+        e_cap, cell_cap, col_grid, eff_backend = _count_and_caps(
+            position, num_particles
+        )
         if capacity_boost != 1.0:
             if format == "dense":
-                align = 8 if backend == "pallas" else 4
+                align = 8 if eff_backend == "pallas" else 4
             else:
                 align = 128
             e_cap = _round_up(e_cap * capacity_boost, align)
             cell_cap = _round_up(cell_cap * capacity_boost, 4) if cell_cap else 0
-        update = _make_update(e_cap, cell_cap, col_grid)
+        update = _make_update(e_cap, cell_cap, col_grid, eff_backend)
         n = position.shape[0]
         if format == "dense":
             idx = jnp.full((n, e_cap), n, dtype=jnp.int32)

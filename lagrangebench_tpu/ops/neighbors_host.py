@@ -1,6 +1,6 @@
 """ctypes bindings for the native host-side neighbor engine.
 
-Compiles native/neighbors.cpp on first use (g++, cached next to the source)
+Compiles lagrangebench_tpu/native/neighbors.cpp on first use (g++; output cached next to the source or in ~/.cache when installed read-only)
 and exposes:
 
 * ``count_edges(positions, box, periodic, cutoff, num_particles)``
@@ -25,12 +25,29 @@ _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
+# the C++ source ships as package data (lagrangebench_tpu/native/)
 _SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "native",
     "neighbors.cpp",
 )
-_SO = os.path.join(os.path.dirname(_SRC), "libneighbors.so")
+
+
+def _so_path() -> str:
+    """Build-output location: next to the source if writable (dev
+    checkout), else a user cache dir (pip-installed, read-only
+    site-packages)."""
+    src_dir = os.path.dirname(_SRC)
+    if os.access(src_dir, os.W_OK):
+        return os.path.join(src_dir, "libneighbors.so")
+    cache = os.path.join(
+        os.environ.get(
+            "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+        ),
+        "lagrangebench_tpu",
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libneighbors.so")
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -40,18 +57,19 @@ def _load() -> Optional[ctypes.CDLL]:
             return _LIB
         _TRIED = True
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            so = _so_path()
+            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(
                 _SRC
             ):
                 subprocess.run(
                     [
                         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                        _SRC, "-o", _SO,
+                        _SRC, "-o", so,
                     ],
                     check=True,
                     capture_output=True,
                 )
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
             lib.neighbor_edges.restype = ctypes.c_int64
             lib.neighbor_edges.argtypes = [
                 ctypes.POINTER(ctypes.c_double),  # positions

@@ -361,7 +361,7 @@ def make_edges_fn(
     cw = n_steps * C
     # a few (C, CW) temporaries + the (CW, CW) triangle dominate VMEM
     vmem_estimate = C * cw * 4 * 8 + cw * cw * 2
-    assert vmem_estimate < 12 * 1024 * 1024, (
+    assert vmem_estimate < nb._kernel_vmem_budget(), (
         f"column capacity {C} too large for the pallas kernel's VMEM "
         "budget; use the celllist backend"
     )
@@ -515,6 +515,13 @@ def make_edges_fn(
         senders = senders.reshape(bsz, n, k_cap)
 
         max_rowcount = jnp.max(ovf.reshape(bsz, n_tiles), axis=1)
+        # col_overflow comes from the SHARED counting-sort table, so one
+        # sample overflowing its column capacity flags every sample in the
+        # batch. Deliberately conservative: column overflow means capacity
+        # was sized wrong for the whole closure (caps are per-allocation,
+        # not per-sample), so the correct reaction — reallocate with a
+        # bigger cap — is batch-wide anyway; a per-sample flag would
+        # trigger the same rebuild.
         overflow = (max_rowcount > k_cap) | col_overflow
         return senders, overflow
 

@@ -164,8 +164,13 @@ class Trainer:
             drop_last=True,
             rng=self.rng,
         )
+        # in-training validation honors eval.train.batch_size — the config
+        # tree distinguishes it from eval.infer.batch_size, which can be
+        # tuned for ICI inference (mesh-multiple) independently of the
+        # small in-training eval (the reference aliases both to
+        # eval.infer's, reference trainer.py:170-173)
         self.loader_valid = DataLoader(
-            data_valid, batch_size=int(self.cfg_eval.infer.batch_size), rng=self.rng
+            data_valid, batch_size=int(self.cfg_eval.train.batch_size), rng=self.rng
         )
 
         lr_scheduler = optax.exponential_decay(

@@ -197,16 +197,27 @@ def test_batched_rollout_equals_individual(periodic_case_pair, fmt):
         in_axes=(0, 0),
     )
 
-    def run(batch_trajs):
+    def run(batch_trajs, steps=n_steps):
         batch = (
             jnp.asarray(np.stack(batch_trajs)),
             jnp.asarray(np.stack([ptype] * len(batch_trajs))),
         )
         preds, _, _ = _eval_batched_rollout(
             rollout_fn, case, params, state, batch, nbrs, metrics_vmap,
-            n_rollout_steps=n_steps, t_window=isl,
+            n_rollout_steps=steps, t_window=isl,
         )
         return np.asarray(preds)
+
+    # one-step comparison stays TIGHT: reduction-order noise has not
+    # amplified yet, so sub-1e-3 cross-sample contamination in the batched
+    # neighbor/preprocessing path would surface here
+    batched_1 = run(trajs, steps=1)
+    for i, traj in enumerate(trajs):
+        single_1 = run([traj], steps=1)
+        np.testing.assert_allclose(
+            batched_1[i], single_1[0], atol=1e-5,
+            err_msg=f"trajectory {i}: one-step batched vs single",
+        )
 
     batched = run(trajs)
     for i, traj in enumerate(trajs):

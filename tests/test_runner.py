@@ -59,3 +59,51 @@ def test_train_and_infer_end_to_end(tmp_path, monkeypatch):
     # restart from the checkpoint in infer mode
     metrics2 = cli.main([f"load_ckp={run_dir}", "mode=infer"])
     assert "val/loss" in metrics2
+
+
+def test_train_and_infer_fused_processor(tmp_path, monkeypatch):
+    """CLI smoke test with the preset fast path on: fused_processor GNS
+    (off-TPU it runs the identical-math XLA mirror) trains then infers."""
+    dataset_path = make_dataset(str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(
+        "extends: LAGRANGEBENCH_DEFAULTS\n"
+        f"dataset:\n  src: {dataset_path}\n"
+        "mode: all\n"
+        "model:\n"
+        "  name: gns\n"
+        "  fused_processor: true\n"
+        "  compute_dtype: bfloat16\n"
+        "  input_seq_length: 3\n"
+        "  num_mp_steps: 2\n"
+        "  latent_dim: 8\n"
+        "train:\n"
+        "  batch_size: 2\n"
+        "  step_max: 4\n"
+        "  pushforward:\n"
+        "    steps: [-1]\n"
+        "    unrolls: [0]\n"
+        "    probs: [1]\n"
+        "eval:\n"
+        "  n_rollout_steps: 3\n"
+        "  train:\n"
+        "    n_trajs: 1\n"
+        "  infer:\n"
+        "    n_trajs: 1\n"
+        "    batch_size: 1\n"
+        "    metrics: [mse]\n"
+        "    out_type: none\n"
+        "logging:\n"
+        "  log_steps: 2\n"
+        "  eval_steps: 4\n"
+        "neighbors:\n"
+        "  backend: auto\n"
+    )
+
+    import main as cli
+
+    metrics = cli.main([f"config={cfg_yaml}"])
+    assert "val/loss" in metrics
+    assert metrics["val/loss"] >= 0.0
