@@ -125,6 +125,143 @@ def haiku_gns_to_flax(hk_params: Dict, num_mp_steps: int) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# EGNN
+# ---------------------------------------------------------------------------
+
+def _lin(hk_params: Dict, path: str, with_bias: bool = True) -> Dict:
+    """One haiku Linear bundle -> flax Dense params."""
+    lin = hk_params[path]
+    out = {"kernel": np.asarray(lin["w"])}
+    if with_bias:
+        out["bias"] = np.asarray(lin["b"])
+    return out
+
+
+def _xav_mlp(hk_params: Dict, prefix: str) -> Dict:
+    """One haiku MLPXav (hk.nets.MLP) -> flax MLPXav params."""
+    out = {}
+    i = 0
+    while f"{prefix}/~/linear_{i}" in hk_params:
+        out[f"Dense_{i}"] = _lin(hk_params, f"{prefix}/~/linear_{i}")
+        i += 1
+    assert i > 0, f"no linear layers under {prefix}"
+    return out
+
+
+def haiku_egnn_to_flax(hk_params: Dict, num_mp_steps: int) -> Dict:
+    """Re-key a haiku EGNN parameter dict into the flax EGNN layout.
+
+    Haiku paths (reference models/egnn.py:25-206; layers are created inside
+    ``EGNN.__call__`` so they scope directly under "egnn"): ``egnn/scalar_emb``
+    (input embedding), per layer ``egnn/layer_k/~/mlp`` (edge MLP),
+    ``mlp_1`` (node MLP), ``linear``/``linear_1`` (position-correction head,
+    final layer bias-free) and ``linear_2``/``linear_3`` (velocity-correction
+    head). Verified against a genuine haiku replica in tests/test_compat.py.
+    Assumes the shipped ``blocks=1`` (the reference runner never overrides
+    it; blocks>1 would share one haiku module across block slots).
+    """
+    out: Dict = {"Dense_0": _lin(hk_params, "egnn/scalar_emb")}
+    for k in range(num_mp_steps):
+        lyr = f"egnn/layer_{k}"
+        assert f"{lyr}/~/linear_4" not in hk_params, (
+            "unexpected attention/blocks>1 EGNN checkpoint layout"
+        )
+        out[f"EGNNLayer_{k}"] = {
+            "MLPXav_0": _xav_mlp(hk_params, f"{lyr}/~/mlp"),
+            "MLPXav_1": _xav_mlp(hk_params, f"{lyr}/~/mlp_1"),
+            "Dense_0": _lin(hk_params, f"{lyr}/~/linear"),
+            "Dense_1": _lin(hk_params, f"{lyr}/~/linear_1", with_bias=False),
+            "Dense_2": _lin(hk_params, f"{lyr}/~/linear_2"),
+            "Dense_3": _lin(hk_params, f"{lyr}/~/linear_3", with_bias=False),
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PaiNN
+# ---------------------------------------------------------------------------
+
+def haiku_painn_to_flax(
+    hk_params: Dict, num_mp_steps: int, shared_filters: bool = False
+) -> Dict:
+    """Re-key a haiku PaiNN parameter dict into the flax PaiNN layout.
+
+    Haiku paths (reference models/painn.py:355-434): the trainable RBF
+    lives at the transform's root bundle ``~`` (``gaussian_rbf`` is called
+    outside any module, reference runner.py:279), ``painn/~/filter_net`` is
+    ONE linear producing all layers' filters (split per layer here — the
+    flax model computes filters lazily per layer from sliced weights),
+    ``painn/~/{scalar,vector}_embedding``, per layer
+    ``painn/~/layer_i/~/linear{,\\_1}`` (interaction block),
+    ``vector_mixing_block``, ``linear_2``/``linear_3`` (mixing block), and
+    readout blocks ``painn/readout_block_{0,out}/~/...``. Verified against
+    a genuine haiku replica in tests/test_compat.py.
+    """
+    rbf = hk_params["~"]
+    out: Dict = {
+        "GaussianRBF_0": {
+            "widths": np.asarray(rbf["widths"]),
+            "offset": np.asarray(rbf["offset"]),
+        },
+        "LinearXav_0": {"Dense_0": _lin(hk_params, "painn/~/scalar_embedding")},
+        "LinearXav_1": {
+            "Dense_0": _lin(hk_params, "painn/~/vector_embedding", with_bias=False)
+        },
+    }
+
+    fw = np.asarray(hk_params["painn/~/filter_net"]["w"])
+    fb = np.asarray(hk_params["painn/~/filter_net"]["b"])
+    if shared_filters:
+        # shared_filters layout: one (n_rbf, 3H) linear reused per layer
+        out["filter_net"] = {"Dense_0": {"kernel": fw, "bias": fb}}
+    else:
+        # per-layer filters (the reference runner's only layout): the single
+        # (n_rbf, L*3H) linear is column-sliced into this package's
+        # per-layer filter_net_i modules
+        assert fw.shape[1] % num_mp_steps == 0, (
+            f"filter_net width {fw.shape[1]} not divisible by "
+            f"num_mp_steps={num_mp_steps}; shared_filters checkpoint?"
+        )
+        latent3 = fw.shape[1] // num_mp_steps
+        for i in range(num_mp_steps):
+            sl = slice(i * latent3, (i + 1) * latent3)
+            out[f"filter_net_{i}"] = {
+                "Dense_0": {"kernel": fw[:, sl], "bias": fb[sl]}
+            }
+
+    for i in range(num_mp_steps):
+        lyr = f"painn/~/layer_{i}"
+        if lyr + "/~/linear" not in hk_params and i > 0:
+            raise NotImplementedError(
+                "shared_interactions PaiNN checkpoints are not supported"
+            )
+        out[f"PaiNNLayer_{i}"] = {
+            "LinearXav_0": {"Dense_0": _lin(hk_params, f"{lyr}/~/linear")},
+            "LinearXav_1": {"Dense_0": _lin(hk_params, f"{lyr}/~/linear_1")},
+            "LinearXav_2": {
+                "Dense_0": _lin(
+                    hk_params, f"{lyr}/~/vector_mixing_block", with_bias=False
+                )
+            },
+            "LinearXav_3": {"Dense_0": _lin(hk_params, f"{lyr}/~/linear_2")},
+            "LinearXav_4": {"Dense_0": _lin(hk_params, f"{lyr}/~/linear_3")},
+        }
+
+    for j, blk in enumerate(["readout_block_0", "readout_block_out"]):
+        pre = f"painn/{blk}"
+        out[f"GatedEquivariantBlock_{j}"] = {
+            "LinearXav_0": {
+                "Dense_0": _lin(
+                    hk_params, f"{pre}/~/vector_mix_net", with_bias=False
+                )
+            },
+            "LinearXav_1": {"Dense_0": _lin(hk_params, f"{pre}/~/linear")},
+            "LinearXav_2": {"Dense_0": _lin(hk_params, f"{pre}/~/linear_1")},
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Linear baseline
 # ---------------------------------------------------------------------------
 
@@ -141,6 +278,8 @@ def haiku_linear_to_flax(hk_params: Dict) -> Dict:
 
 _IMPORTERS = {
     "gns": lambda hk, cfg: haiku_gns_to_flax(hk, int(cfg["num_mp_steps"])),
+    "egnn": lambda hk, cfg: haiku_egnn_to_flax(hk, int(cfg["num_mp_steps"])),
+    "painn": lambda hk, cfg: haiku_painn_to_flax(hk, int(cfg["num_mp_steps"])),
     "linear": lambda hk, cfg: haiku_linear_to_flax(hk),
 }
 

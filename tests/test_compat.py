@@ -151,6 +151,278 @@ def test_haiku_module_names_match_expected(haiku_setup):
     assert w0.shape == (3 * LATENT, LATENT)
 
 
+# ---------------------------------------------------------------------------
+# EGNN replica (reference models/egnn.py:25-206 structure: layer modules
+# created inside EGNN.__call__, correction heads as __init__-time Sequentials)
+# ---------------------------------------------------------------------------
+
+def _xav():
+    return hk.initializers.VarianceScaling(1.0, "fan_avg", "uniform")
+
+
+class _HaikuEGNNLayer(hk.Module):
+    def __init__(self, layer_num, hidden, act=jax.nn.silu, dt=0.001):
+        super().__init__(f"layer_{layer_num}")
+        self._act = act
+        self._edge_mlp = hk.nets.MLP(
+            [hidden, hidden], w_init=_xav(), activation=act, activate_final=True
+        )
+        self._node_mlp = hk.nets.MLP(
+            [hidden, hidden], w_init=_xav(), activation=act, activate_final=False
+        )
+        self._pos_correction_mlp = hk.Sequential(
+            [hk.Linear(hidden, w_init=_xav()), act,
+             hk.Linear(1, with_bias=False,
+                       w_init=hk.initializers.UniformScaling(dt))]
+        )
+        self._vel_correction_mlp = hk.Sequential(
+            [hk.Linear(hidden, w_init=_xav()), act,
+             hk.Linear(1, with_bias=False,
+                       w_init=hk.initializers.UniformScaling(dt))]
+        )
+
+
+class _HaikuEGNN(hk.Module):
+    """Reference EGNN forward algebra (egnn.py:119-206,371-400) with
+    jraph.GraphNetwork expanded to gathers + segment sums; free space."""
+
+    def __init__(self, hidden, n_layers):
+        super().__init__("egnn")
+        self._hidden, self._n_layers = hidden, n_layers
+
+    def __call__(self, vel_hist, pos, senders, receivers, edge_attr):
+        n, n_vels = vel_hist.shape[0], vel_hist.shape[1]
+        node_feats = jnp.concatenate(
+            [jnp.sqrt(jnp.sum(vel_hist[:, i] ** 2, -1, keepdims=True))
+             for i in range(n_vels)], axis=-1
+        )
+        h = hk.Linear(self._hidden, w_init=_xav(), name="scalar_emb")(node_feats)
+        prev_vel = vel_hist[:, -1]
+        next_pos = pos
+        for k in range(self._n_layers):
+            lyr = _HaikuEGNNLayer(k, self._hidden)
+            coord_diff = next_pos[senders] - next_pos[receivers]
+            radial = jnp.sum(coord_diff**2, -1, keepdims=True)
+            msg = lyr._edge_mlp(
+                jnp.concatenate([h[senders], h[receivers], radial, edge_attr], -1)
+            )
+            agg = jax.ops.segment_sum(msg, receivers, num_segments=n)
+            h = h + lyr._node_mlp(jnp.concatenate([h, agg], -1))
+            trans = coord_diff * lyr._pos_correction_mlp(msg)
+            next_pos = next_pos + jax.ops.segment_sum(trans, senders, num_segments=n)
+            next_pos = next_pos + lyr._vel_correction_mlp(h) * prev_vel
+        next_vel = next_pos - pos
+        return {"pos": next_pos, "vel": next_vel, "acc": next_vel - prev_vel}
+
+
+def test_egnn_import_forward_parity(tmp_path):
+    from lagrangebench_tpu.models.egnn import EGNN
+    from lagrangebench_tpu.ops import space
+
+    rng = np.random.default_rng(1)
+    n_vels = 2
+    vel_hist = jnp.asarray(rng.normal(size=(N, n_vels, DIM)), jnp.float32) * 0.1
+    pos = jnp.asarray(rng.uniform(size=(N, DIM)), jnp.float32)
+    senders = jnp.asarray(rng.integers(0, N, size=(E,)), jnp.int32)
+    receivers = jnp.asarray(rng.integers(0, N, size=(E,)), jnp.int32)
+    edge_attr = jnp.asarray(abs(rng.normal(size=(E, 1))), jnp.float32)
+
+    def fwd(vh, p, s, r, ea):
+        return _HaikuEGNN(LATENT, MP_STEPS)(vh, p, s, r, ea)
+
+    model = hk.without_apply_rng(hk.transform(fwd))
+    hk_params = model.init(
+        jax.random.PRNGKey(1), vel_hist, pos, senders, receivers, edge_attr
+    )
+    out_ref = model.apply(hk_params, vel_hist, pos, senders, receivers, edge_attr)
+
+    ckp = str(tmp_path / "egnn_ckp")
+    _save_haiku_layout(ckp, hk_params)
+    params, _, _ = load_reference_checkpoint(
+        ckp, "egnn", {"num_mp_steps": MP_STEPS}
+    )
+
+    disp, shift = space.free()
+    flax_model = EGNN(
+        hidden_size=LATENT, output_size=1, dt=0.01, n_vels=n_vels,
+        displacement_fn=disp, shift_fn=shift,
+        velocity_stats={"mean": jnp.zeros(()), "std": jnp.ones(())},
+        num_mp_steps=MP_STEPS,
+    )
+    features = {
+        "vel_hist": vel_hist.reshape(N, n_vels * DIM),
+        "abs_pos": pos[:, None],
+        "rel_dist": edge_attr,
+        "senders": senders,
+        "receivers": receivers,
+    }
+    out = flax_model.apply(
+        {"params": params}, (features, jnp.zeros((N,), jnp.int32))
+    )
+    for k in ("pos", "vel", "acc"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(out_ref[k]), rtol=1e-5, atol=1e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# PaiNN replica (reference models/painn.py:35-522 structure: RBF params at
+# the transform root, layers created in __init__, readout blocks in __call__)
+# ---------------------------------------------------------------------------
+
+def _hk_lin(o, with_bias=True, name=None):
+    return hk.Linear(o, with_bias=with_bias, w_init=_xav(), name=name)
+
+
+def _hk_gaussian_rbf(n_rbf, cutoff):
+    """reference painn.py:106-146, trainable=True path"""
+    offset = jnp.linspace(0.0, cutoff, n_rbf)
+    width = jnp.abs(cutoff - 0.0) / n_rbf * jnp.ones_like(offset)
+    widths = hk.get_parameter("widths", width.shape, width.dtype,
+                              init=lambda *_: width)
+    offsets = hk.get_parameter("offset", offset.shape, offset.dtype,
+                               init=lambda *_: offset)
+
+    def _rbf(x):
+        return jnp.exp(-0.5 / widths**2 * (x[..., None] - offsets) ** 2)
+
+    return _rbf
+
+
+class _HaikuGEB(hk.Module):
+    """reference painn.py:35-103"""
+
+    def __init__(self, hidden, sout, vout, name):
+        super().__init__(name)
+        self._s, self._v = sout, vout
+        self.vector_mix_net = _hk_lin(2 * vout, with_bias=False,
+                                      name="vector_mix_net")
+        self.gate_block = hk.Sequential(
+            [_hk_lin(hidden), jax.nn.silu, _hk_lin(sout + vout)],
+            name="scalar_gate_net",
+        )
+
+    def __call__(self, s, v):
+        v_l, v_r = jnp.split(self.vector_mix_net(v), 2, axis=-1)
+        v_r_norm = jnp.sqrt(jnp.sum(v_r**2, axis=-2) + 1e-8)
+        gs = jnp.concatenate([s, v_r_norm], axis=-1)
+        s, _, v_gate = jnp.split(self.gate_block(gs), [self._s, self._v], -1)
+        return s, v_l * v_gate[:, None]
+
+
+class _HaikuPaiNNLayer(hk.Module):
+    """reference painn.py:223-352 (blocks=2)"""
+
+    def __init__(self, hidden, layer_num):
+        super().__init__(f"layer_{layer_num}")
+        act = jax.nn.silu
+        self.interaction_block = hk.Sequential(
+            [_hk_lin(hidden), act, _hk_lin(3 * hidden)], name="interaction_block"
+        )
+        self.mixing_block = hk.Sequential(
+            [_hk_lin(hidden), act, _hk_lin(3 * hidden)], name="mixing_block"
+        )
+        self.vector_mixing_block = _hk_lin(
+            2 * hidden, with_bias=False, name="vector_mixing_block"
+        )
+
+    def __call__(self, s, v, dir_ij, Wij, senders, receivers):
+        n = s.shape[0]
+        x = self.interaction_block(s)
+        ds, dv1, dv2 = jnp.split(Wij * x[receivers], 3, axis=-1)
+        dv = dv1 * dir_ij[..., None] + dv2 * v[receivers]
+        s = s + jnp.clip(jax.ops.segment_sum(ds, senders, n), -1e2, 1e2)
+        v = v + jnp.clip(jax.ops.segment_sum(dv, senders, n), -1e2, 1e2)
+        v_l, v_r = jnp.split(self.vector_mixing_block(v), 2, axis=-1)
+        v_norm = jnp.sqrt(jnp.sum(v_r**2, axis=-2, keepdims=True) + 1e-8)
+        ts = jnp.concatenate([s, v_norm], axis=-1)
+        ds, dv, dsv = jnp.split(self.mixing_block(ts), 3, axis=-1)
+        s = s + jnp.clip(ds + dsv * jnp.sum(v_r * v_l, axis=1, keepdims=True),
+                         -1e2, 1e2)
+        v = v + jnp.clip(v_l * dv, -1e2, 1e2)
+        return s, v
+
+
+class _HaikuPaiNN(hk.Module):
+    """reference painn.py:355-522"""
+
+    def __init__(self, hidden, n_layers, rbf, cutoff):
+        super().__init__("painn")
+        self._hidden, self._n_layers = hidden, n_layers
+        self.radial_basis_fn, self._cutoff = rbf, cutoff
+        self.scalar_emb = _hk_lin(hidden, name="scalar_embedding")
+        self.vector_emb = _hk_lin(hidden, with_bias=False,
+                                  name="vector_embedding")
+        self.filter_net = _hk_lin(n_layers * 3 * hidden, name="filter_net")
+        self.layers = [_HaikuPaiNNLayer(hidden, i) for i in range(n_layers)]
+
+    def __call__(self, s0, v0, rel_disp, senders, receivers):
+        norm_ij = jnp.sqrt(jnp.sum(rel_disp**2, axis=1, keepdims=True) + 1e-8)
+        dir_ij = rel_disp / (norm_ij + 1e-8)
+        phi_ij = self.radial_basis_fn(norm_ij)
+        cuts = 0.5 * (jnp.cos(norm_ij * jnp.pi / self._cutoff) + 1.0)
+        cut = cuts * jnp.array(norm_ij < self._cutoff, dtype=jnp.float32)
+        filters = self.filter_net(phi_ij) * cut[:, None]
+        filter_list = jnp.split(filters, self._n_layers, axis=-1)
+        s = self.scalar_emb(s0)[:, None]
+        v = self.vector_emb(v0)
+        for k, layer in enumerate(self.layers):
+            s, v = layer(s, v, dir_ij, filter_list[k], senders, receivers)
+        s = jnp.squeeze(s)
+        h2 = self._hidden // 2
+        s, v = _HaikuGEB(self._hidden, h2, h2, name="readout_block_0")(s, v)
+        s, v = _HaikuGEB(h2, 1, 1, name="readout_block_out")(s, v)
+        return jnp.squeeze(v)
+
+
+def test_painn_import_forward_parity(tmp_path):
+    from lagrangebench_tpu.models.painn import PaiNN
+
+    rng = np.random.default_rng(2)
+    n_vels, n_rbf, radius = 2, 5, 0.3
+    vel_hist = jnp.asarray(rng.normal(size=(N, n_vels, DIM)), jnp.float32) * 0.1
+    vel_mag = jnp.sqrt(jnp.sum(vel_hist**2, axis=-1))
+    rel_disp = jnp.asarray(rng.normal(size=(E, DIM)), jnp.float32) * 0.1
+    senders = jnp.asarray(rng.integers(0, N, size=(E,)), jnp.int32)
+    receivers = jnp.asarray(rng.integers(0, N, size=(E,)), jnp.int32)
+    v0 = vel_hist.transpose(0, 2, 1)  # (N, dim, n_vels)
+
+    def fwd(s0, v0, rd, se, re):
+        rbf = _hk_gaussian_rbf(n_rbf, radius)  # root-level params, as in
+        return _HaikuPaiNN(LATENT, MP_STEPS, rbf, radius)(s0, v0, rd, se, re)
+
+    model = hk.without_apply_rng(hk.transform(fwd))
+    hk_params = model.init(
+        jax.random.PRNGKey(2), vel_mag, v0, rel_disp, senders, receivers
+    )
+    assert "~" in hk_params  # RBF params live at the transform root
+    out_ref = model.apply(hk_params, vel_mag, v0, rel_disp, senders, receivers)
+
+    ckp = str(tmp_path / "painn_ckp")
+    _save_haiku_layout(ckp, hk_params)
+    params, _, _ = load_reference_checkpoint(
+        ckp, "painn", {"num_mp_steps": MP_STEPS}
+    )
+
+    flax_model = PaiNN(
+        hidden_size=LATENT, output_size=1, num_mp_steps=MP_STEPS,
+        n_rbf=n_rbf, radius=radius, n_vels=n_vels,
+    )
+    features = {
+        "vel_hist": vel_hist.reshape(N, n_vels * DIM),
+        "vel_mag": vel_mag,
+        "rel_disp": rel_disp,
+        "senders": senders,
+        "receivers": receivers,
+    }
+    out = flax_model.apply(
+        {"params": params}, (features, jnp.zeros((N,), jnp.int32))
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["acc"]), np.asarray(out_ref), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_roundtrip_and_forward_parity(haiku_setup, tmp_path):
     hk_params, features, ptype, out_ref = haiku_setup
     ckp = str(tmp_path / "ref_ckp")
