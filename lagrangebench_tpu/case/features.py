@@ -80,6 +80,28 @@ def physical_feature_builder(
         if external_force_fn is not None:
             features["force"] = jax.vmap(external_force_fn)(most_recent)
 
+        if getattr(nbrs, "format", "sparse") == "slot":
+            # cell-sorted slot order (ops/neighbors_pallas.make_slot_edges_fn):
+            # edge geometry comes straight from the NL kernel (min-imaged and
+            # cutoff-normalized in VMEM — no sender-position gather at all);
+            # node-level features are gathered into slot order here. The
+            # models map their output back with "particle_to_slot".
+            aux = nbrs.aux
+            s2p = jnp.minimum(aux["slot_to_particle"], n - 1)
+            for key in ("vel_hist", "vel_mag", "bound", "force"):
+                if key in features:
+                    features[key] = features[key][s2p]
+            features["senders"] = nbrs.idx  # (n_ext, K) candidate ids
+            features["receivers"] = jax.lax.broadcasted_iota(
+                jnp.int32, nbrs.idx.shape, 0
+            )
+            features["rel_disp"] = aux["rel_disp"]
+            features["rel_dist"] = aux["rel_dist"]
+            features["slot_bases"] = aux["bases"]
+            features["slot_to_particle"] = aux["slot_to_particle"]
+            features["particle_to_slot"] = aux["particle_to_slot"]
+            return features
+
         if getattr(nbrs, "format", "sparse") == "sparse":
             # sparse (2, E): reference-compatible layout
             receivers, senders = nbrs.idx

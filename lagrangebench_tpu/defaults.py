@@ -199,4 +199,4 @@ def check_cfg(cfg: Config) -> None:
     assert cfg.eval.infer.out_type in ["none", "vtk", "pkl"]
 
     resolve_backend(cfg.neighbors.backend)
-    assert cfg.neighbors.format in ["sparse", "dense"]
+    assert cfg.neighbors.format in ["sparse", "dense", "slot"]

@@ -66,6 +66,19 @@ class GNS(BaseModel):
         senders = features["senders"]
         n = nodes.shape[0]
 
+        # cell-sorted slot layout (neighbors format="slot"): node features
+        # arrive in column-slot order; particle-level inputs are gathered
+        # into slot order here and the output mapped back at the end
+        slot_mode = "slot_bases" in features
+        if slot_mode:
+            assert self.use_fused_processor and self.blocks_per_step == 2, (
+                "the slot NL layout requires the fused processor"
+            )
+            s2p = jnp.minimum(
+                features["slot_to_particle"], particle_type.shape[0] - 1
+            )
+            particle_type = particle_type[s2p]
+
         if self.num_particle_types > 1:
             # negative (padding) types wrap to the last embedding row, the
             # same behavior as the reference's haiku Embed lookup
@@ -123,26 +136,14 @@ class GNS(BaseModel):
             }
             e = edges  # raw; encoded by the first fused step
 
+            if slot_mode:
+                return self._slot_processor(
+                    features, e, h, enc, mlp, dtype
+                )
+
             mask = senders < n
             for step in range(self.num_mp_steps):
-                p = {
-                    name: self.param(
-                        f"mp{step}_{name}",
-                        (
-                            nn.initializers.lecun_normal()
-                            if name.startswith("w")
-                            else (
-                                nn.initializers.ones_init()
-                                if "scale" in name
-                                else nn.initializers.zeros_init()
-                            )
-                        ),
-                        (self.latent_size, self.latent_size)
-                        if name.startswith("w")
-                        else (self.latent_size,),
-                    )
-                    for name in fused_mp.PARAM_NAMES
-                }
+                p = self._mp_step_params(step)
                 prec = matmul_precision(dtype)
                 hs_proj = jnp.dot(
                     h, p["w_s"].astype(dtype), preferred_element_type=dtype,
@@ -202,6 +203,56 @@ class GNS(BaseModel):
 
         # decoder (no LayerNorm on the output head); outputs stay float32
         acc = mlp(self.particle_dimension, layer_norm=False)(h)
+        return {"acc": acc.astype(jnp.float32)}
+
+    def _mp_step_params(self, step: int) -> Dict:
+        """Flat per-step parameter dict for the fused processor variants."""
+        from ..ops import fused_mp
+
+        return {
+            name: self.param(
+                f"mp{step}_{name}",
+                (
+                    nn.initializers.lecun_normal()
+                    if name.startswith("w")
+                    else (
+                        nn.initializers.ones_init()
+                        if "scale" in name
+                        else nn.initializers.zeros_init()
+                    )
+                ),
+                (self.latent_size, self.latent_size)
+                if name.startswith("w")
+                else (self.latent_size,),
+            )
+            for name in fused_mp.PARAM_NAMES
+        }
+
+    def _slot_processor(self, features, e, h, enc, mlp, dtype):
+        """Cell-sorted processor: state stays in column-slot order and the
+        fused kernel selects sender projections from stencil-column slabs
+        in VMEM — no (N, K, latent) HBM gather between MP steps."""
+        from ..ops import fused_mp
+
+        cand = features["senders"]
+        bases = features["slot_bases"]
+        prec = matmul_precision(dtype)
+        for step in range(self.num_mp_steps):
+            p = self._mp_step_params(step)
+            hs_proj = jnp.dot(
+                h, p["w_s"].astype(dtype), preferred_element_type=dtype,
+                precision=prec,
+            )
+            hr_proj = jnp.dot(
+                h, p["w_r"].astype(dtype), preferred_element_type=dtype,
+                precision=prec,
+            )
+            e, h = fused_mp.gns_mp_step_slot(
+                e, cand, bases, hs_proj, hr_proj, h, p,
+                enc=enc if step == 0 else None,
+            )
+        acc = mlp(self.particle_dimension, layer_norm=False)(h)
+        acc = acc[features["particle_to_slot"]]
         return {"acc": acc.astype(jnp.float32)}
 
 

@@ -128,20 +128,22 @@ def gns_mp_step_reference(
 
 
 def _mp_math(
-    e2, hs_ref, hr_ref, h_ref, mask_ref,
+    e2, hs, hr_ref, h_ref, mask,
     w_e_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref,
     wnh_ref, wna_ref, bn1_ref, wn2_ref, bn2_ref, g2_ref, be2_ref,
     e_out_ref,
 ):
     """Shared MP-step body: ``e2`` is the (t*k, f) edge latent value (read
-    from HBM or encoded in VMEM); writes e_out, returns the h_out value."""
-    t, k = mask_ref.shape
+    from HBM or encoded in VMEM), ``hs`` the (t*k, f) float32 gathered
+    sender projection, ``mask`` the (t, k) float32 validity; writes e_out,
+    returns the h_out value."""
+    t, k = mask.shape
     f = e2.shape[-1]
     f32 = jnp.float32
     cdt = e2.dtype
 
     first = jnp.dot(e2, w_e_ref[...], preferred_element_type=f32)
-    first += hs_ref[...].reshape(t * k, f).astype(f32)
+    first += hs
     # receiver broadcast: repeat each row K times
     hr = hr_ref[...].astype(f32)  # (t, f)
     first = first.reshape(t, k, f) + hr[:, None, :] + b1_ref[...].astype(f32)
@@ -156,8 +158,7 @@ def _mp_math(
         e2.reshape(t, k, f).astype(f32) + messages
     ).astype(cdt)
 
-    m = mask_ref[...].astype(f32)  # (t, k)
-    agg = jnp.sum(messages * m[..., None], axis=1)  # (t, f)
+    agg = jnp.sum(messages * mask[..., None], axis=1)  # (t, f)
 
     node_first = jnp.dot(h_ref[...], wnh_ref[...], preferred_element_type=f32)
     node_first += jnp.dot(
@@ -203,7 +204,10 @@ def _make_fused_kernel(has_enc: bool):
             f = e_ref.shape[-1]
             e2 = e_ref[...].reshape(t * k, f)
 
-        h_out_ref[...] = _mp_math(e2, hs_ref, hr_ref, h_ref, mask_ref,
+        fl = hs_ref.shape[-1]
+        hs = hs_ref[...].reshape(t * k, fl).astype(f32)
+        h_out_ref[...] = _mp_math(e2, hs, hr_ref, h_ref,
+                                  mask_ref[...].astype(f32),
                                   *p_refs, e_out_ref)
 
     return kernel
@@ -629,3 +633,231 @@ def init_step_params(key, f: int, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
         "ln2_scale": jnp.ones((f,), dtype),
         "ln2_bias": jnp.zeros((f,), dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# slot-space fused MP step (cell-sorted execution)
+# ---------------------------------------------------------------------------
+#
+# All node/edge state lives in column-slot order (ops/neighbors_pallas.
+# make_slot_edges_fn): receivers of column t occupy rows [t*C, (t+1)*C), and
+# a receiver's senders can only live in the S stencil columns of t. The
+# kernel therefore reads the sender projection from S scalar-prefetched
+# (C, F) column slabs and selects per-edge rows in VMEM with a one-hot MXU
+# contraction — the (N, K, F) gathered tensor of the particle-order path
+# never exists in HBM. This removes the dominant remaining rollout cost
+# (10 x ~0.23 ms of XLA h[senders] gathers at bench scale, docs/performance).
+
+
+def slot_gather_reference(hs_ext: jnp.ndarray, cand: jnp.ndarray,
+                          bases: jnp.ndarray) -> jnp.ndarray:
+    """XLA mirror of the in-kernel stencil-slab select.
+
+    hs_ext: ((n_cols+1)*C, F) slot-ordered rows (sentinel column last);
+    cand: (n_ext, K) stencil-candidate ids (fill S*C); bases: (n_cols, S).
+    Returns the gathered (n_ext, K, F) tensor (zeros on padded slots).
+    """
+    n_cols, s = bases.shape
+    n_ext, f = hs_ext.shape
+    c = n_ext // (n_cols + 1)
+    k = cand.shape[-1]
+    cw = s * c
+    slabs = hs_ext.reshape(n_cols + 1, c, f)[bases]  # (n_cols, S, C, F)
+    slabs = slabs.reshape(n_cols, cw, f)
+    cand_i = cand[: n_cols * c].reshape(n_cols, c * k)
+    safe = jnp.minimum(cand_i, cw - 1)
+    g = jnp.take_along_axis(slabs, safe[..., None], axis=1)
+    g = jnp.where((cand_i < cw)[..., None], g, 0.0)
+    g = g.reshape(n_cols * c, k, f)
+    return jnp.concatenate([g, jnp.zeros((c, k, f), g.dtype)], axis=0)
+
+
+def gns_mp_step_slot_reference(e, cand, bases, hs_ext, hr, h, p, enc=None):
+    """Pure-jax mirror of the slot kernel (parity tests, non-TPU fallback,
+    and the custom-VJP backward)."""
+    n_cols = bases.shape[0]
+    c = hs_ext.shape[0] // (n_cols + 1)
+    cw = bases.shape[1] * c
+    mask = cand < cw
+    hs_gath = slot_gather_reference(hs_ext, cand, bases)
+    return gns_mp_step_reference(e, hs_gath, hr, h, mask, p, enc)
+
+
+def _make_slot_kernel(has_enc: bool, n_steps: int):
+    """Slot kernel factory: per-column tile with in-VMEM stencil select."""
+
+    def kernel(*args):
+        # scalar prefetch (bases) first, then inputs, then outputs
+        e_ref, cand_ref, hr_ref, h_ref = args[1:5]
+        i = 5
+        hs_refs = args[i : i + n_steps]
+        i += n_steps
+        if has_enc:
+            ew1_ref, eb1_ref, ew2_ref, eb2_ref, eg_ref, ebe_ref = args[i:i + 6]
+            i += 6
+        p_refs = args[i : i + 13]
+        i += 13
+        e_out_ref, h_out_ref = args[i : i + 2]
+
+        f32 = jnp.float32
+        cdt = hr_ref.dtype
+        t, k, _ = e_ref.shape  # t == C rows per column
+
+        if has_enc:
+            fe = e_ref.shape[-1]
+            raw2 = e_ref[...].reshape(t * k, fe).astype(cdt)
+            x = jnp.dot(raw2, ew1_ref[...], preferred_element_type=f32)
+            x += eb1_ref[...].astype(f32)
+            x = jnp.maximum(x, 0.0).astype(cdt)
+            x = jnp.dot(x, ew2_ref[...], preferred_element_type=f32)
+            x += eb2_ref[...].astype(f32)
+            e2 = _layernorm(
+                x, eg_ref[...].astype(f32), ebe_ref[...].astype(f32)
+            ).astype(cdt)
+        else:
+            f = e_ref.shape[-1]
+            e2 = e_ref[...].reshape(t * k, f)
+
+        # stencil-slab select: one-hot over the S*C candidate axis. The
+        # one-hot has <= 1 nonzero per row, so a bf16 MXU contraction is
+        # exact; padded slots (cand == S*C) match nothing and yield zero.
+        cand = cand_ref[...]  # (C, K) int32
+        cw = n_steps * t
+        hs_all = jnp.concatenate([r[...] for r in hs_refs], axis=0)  # (cw, F)
+        sel = (
+            cand.reshape(t * k, 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (t * k, cw), 1)
+        ).astype(cdt)
+        hs = jnp.dot(sel, hs_all.astype(cdt), preferred_element_type=f32)
+        mask = (cand < cw).astype(f32)
+
+        h_out_ref[...] = _mp_math(e2, hs, hr_ref, h_ref, mask,
+                                  *p_refs, e_out_ref)
+
+    return kernel
+
+
+def _launch_fused_slot(e, cand, bases, hs_ext, hr, h, p, enc, interpret):
+    n_ext, k, fe = e.shape
+    f = hs_ext.shape[-1]
+    cdt = hs_ext.dtype
+    n_cols, n_steps = bases.shape
+    c = n_ext // (n_cols + 1)
+    assert (n_cols + 1) * c == n_ext, (n_ext, n_cols, c)
+
+    # VMEM admissibility: the dominant live blocks per program
+    cw = n_steps * c
+    live = (
+        c * k * max(fe, f) * 4  # e tile (+ encoder intermediate)
+        + 3 * c * k * f * 4  # first/messages float32 temporaries
+        + c * k * cw * 2  # one-hot select
+        + cw * f * 2  # stencil slabs
+    )
+    from .device import scale_budget
+
+    assert live < scale_budget(12 * 1024 * 1024), (
+        f"slot MP kernel: column capacity {c} x K {k} exceeds the VMEM "
+        "budget; use the particle-order fused path"
+    )
+
+    params = _row_params(p, _MP_KERNEL_PARAMS, f, cdt)
+    enc_params = _row_params(enc, ENC_PARAM_NAMES, f, cdt) if enc else []
+
+    # the sentinel tile (last) reads its own column's slabs; its candidates
+    # are all-fill so nothing is selected
+    bases_ext = jnp.concatenate(
+        [bases, jnp.full((1, n_steps), n_cols, bases.dtype)], axis=0
+    )
+
+    e_spec = pl.BlockSpec(
+        (c, k, fe), lambda t, b: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    eo_spec = pl.BlockSpec(
+        (c, k, f), lambda t, b: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    cand_spec = pl.BlockSpec(
+        (c, k), lambda t, b: (t, 0), memory_space=pltpu.VMEM
+    )
+    row_spec = pl.BlockSpec(
+        (c, f), lambda t, b: (t, 0), memory_space=pltpu.VMEM
+    )
+
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (c, f), lambda t, b, j=j: (b[t, j], 0), memory_space=pltpu.VMEM
+        )
+
+    def full_spec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda t, b: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_cols + 1,),
+        in_specs=[e_spec, cand_spec, row_spec, row_spec]
+        + [slab_spec(j) for j in range(n_steps)]
+        + [full_spec(q) for q in enc_params]
+        + [full_spec(q) for q in params],
+        out_specs=[eo_spec, row_spec],
+    )
+
+    e_out, h_out = pl.pallas_call(
+        _make_slot_kernel(bool(enc), n_steps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_ext, k, f), cdt),
+            jax.ShapeDtypeStruct(h.shape, h.dtype),
+        ],
+        interpret=interpret,
+    )(bases_ext, e, cand, hr, h, *([hs_ext] * n_steps), *enc_params, *params)
+    return e_out, h_out
+
+
+def gns_mp_step_slot(
+    e: jnp.ndarray,  # (n_ext, K, F) edge latents — or (n_ext, K, Fe) raw
+    cand: jnp.ndarray,  # (n_ext, K) int32 stencil-candidate ids
+    bases: jnp.ndarray,  # (n_cols, S) int32 stencil column table
+    hs_ext: jnp.ndarray,  # (n_ext, F) sender projection, slot order
+    hr: jnp.ndarray,  # (n_ext, F) receiver projection
+    h: jnp.ndarray,  # (n_ext, F) node latents
+    p: Dict[str, jnp.ndarray],
+    enc: Optional[Dict[str, jnp.ndarray]] = None,
+    interpret: Optional[bool] = None,
+):
+    """Run one fused MP step in slot space (differentiable; the backward
+    runs through the XLA mirror — training-grade but not the fast path)."""
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return gns_mp_step_slot_reference(e, cand, bases, hs_ext, hr, h,
+                                              p, enc)
+        interpret = False
+    return _gns_mp_slot_vjp(e, cand, bases, hs_ext, hr, h, p, enc, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _gns_mp_slot_vjp(e, cand, bases, hs_ext, hr, h, p, enc, interpret):
+    return _launch_fused_slot(e, cand, bases, hs_ext, hr, h, p, enc,
+                              interpret)
+
+
+def _gns_mp_slot_vjp_fwd(e, cand, bases, hs_ext, hr, h, p, enc, interpret):
+    out = _launch_fused_slot(e, cand, bases, hs_ext, hr, h, p, enc, interpret)
+    return out, (e, cand, bases, hs_ext, hr, h, p, enc)
+
+
+def _gns_mp_slot_vjp_bwd(interpret, residuals, cotangents):
+    e, cand, bases, hs_ext, hr, h, p, enc = residuals
+    import numpy as _np
+
+    def fwd(e_, hs_, hr_, h_, p_, enc_):
+        return gns_mp_step_slot_reference(e_, cand, bases, hs_, hr_, h_,
+                                          p_, enc_)
+
+    _, vjp = jax.vjp(fwd, e, hs_ext, hr, h, p, enc)
+    de, dhs, dhr, dh, dp, denc = vjp(cotangents)
+    f0 = lambda a: _np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return de, f0(cand), f0(bases), dhs, dhr, dh, dp, denc
+
+
+_gns_mp_slot_vjp.defvjp(_gns_mp_slot_vjp_fwd, _gns_mp_slot_vjp_bwd)

@@ -73,6 +73,10 @@ class NeighborList:
     did_buffer_overflow: jnp.ndarray
     update_fn: Callable = struct.field(pytree_node=False)
     format: str = struct.field(pytree_node=False, default="sparse")
+    # slot format only: the cell-sorted graph payload (rel_disp/rel_dist,
+    # slot<->particle maps, stencil base table) — see
+    # neighbors_pallas.make_slot_edges_fn
+    aux: Optional[dict] = None
 
     def update(self, position: jnp.ndarray, num_particles=None, **kwargs):
         """Recompute edges at ``position`` reusing this list's capacity."""
@@ -457,10 +461,16 @@ def neighbor_list(
         format: "sparse" (2, E) compacted edges — reference-compatible —
             or "dense" (N, K) per-receiver sender matrix — the TPU fast
             path: built by per-row top_k (no scatter/compaction) and
-            aggregated by masked reshape-sum in the models.
+            aggregated by masked reshape-sum in the models — or "slot":
+            the cell-sorted graph (pallas backend only, single-sample):
+            edges, geometry and node maps stay in column-slot order so the
+            fused processor reads sender state from stencil-column slabs
+            instead of an (N, K, latent) HBM gather.
     """
-    assert format in ("sparse", "dense"), format
+    assert format in ("sparse", "dense", "slot"), format
     assert not mask_self, "reference semantics keep self-edges (mask_self=False)"
+    if format == "slot":
+        backend = "pallas"
     box = np.asarray(box, dtype=np.float64).reshape(-1)
     dim = box.shape[0]
     if pbc is None:
@@ -471,10 +481,17 @@ def neighbor_list(
 
     grid = make_grid(box, cutoff, pbc) if backend in ("celllist", "pallas") else None
     if backend in ("celllist", "pallas") and grid is None:
+        if format == "slot":
+            raise ValueError(
+                "slot format needs a cell grid (box too small for a "
+                "3-cell stencil); use dense format"
+            )
         backend = "allpairs"  # box too small for a 3-cell stencil
 
     if backend == "pallas":
-        assert format == "dense", "the pallas neighbor kernel is dense-only"
+        assert format in ("dense", "slot"), (
+            "the pallas neighbor kernel is dense/slot-only"
+        )
         from . import neighbors_pallas  # deferred: only needed on TPU
 
         edges_fn_factory = partial(
@@ -606,7 +623,7 @@ def neighbor_list(
             count = neighbors_host.count_edges(
                 pos_valid, box, periodic_all, cutoff
             )
-            if format == "dense":
+            if format in ("dense", "slot"):
                 idx, _ = neighbors_host.build_edges(
                     pos_valid, box, periodic_all, cutoff, e_cap=count
                 )
@@ -625,10 +642,10 @@ def neighbor_list(
                     disp = np.mod(disp + box * 0.5, box) - box * 0.5
                 within = np.sum(disp * disp, axis=-1) <= cutoff2
                 count += int(within.sum())
-                if format == "dense" and within.size:
+                if format in ("dense", "slot") and within.size:
                     max_k = max(max_k, int(within.sum(axis=1).max()))
         e_cap = max(_round_up(max(count, 1) * capacity_multiplier, 128), 128)
-        if format == "dense":
+        if format in ("dense", "slot"):
             # pallas (the fused-processor pairing): multiple of 8 keeps the
             # K axis sublane-aligned — the fused MP kernels reshape
             # (t, K, f) -> (t*K, f), which is free only at aligned K
@@ -650,6 +667,48 @@ def neighbor_list(
         """e_cap is the per-row K capacity in dense format."""
         if eff_backend is None:
             eff_backend = backend
+        if format == "slot":
+            if eff_backend != "pallas" or col_grid is None:
+                raise RuntimeError(
+                    "slot format: no admissible column grid at this system "
+                    "size (the pallas kernel's VMEM budget was exceeded); "
+                    "use dense format"
+                )
+            from . import neighbors_pallas
+
+            slot_edges = neighbors_pallas.make_slot_edges_fn(
+                displacement_fn=displacement_fn,
+                cutoff=cutoff,
+                grid=col_grid,
+                e_cap=e_cap,
+                cell_cap=cell_cap,
+                box=[float(b) for b in box],
+            )
+
+            @jax.jit
+            def _update_slot_jit(position, prev_overflow, num_particles):
+                aux, overflow = slot_edges(position, num_particles)
+                return aux, overflow | prev_overflow
+
+            def update(position, neighbors=None, num_particles=None, **kw):
+                n = position.shape[0]
+                npart = n if num_particles is None else num_particles
+                prev = (
+                    neighbors.did_buffer_overflow
+                    if neighbors is not None
+                    else jnp.asarray(False)
+                )
+                aux, overflow = _update_slot_jit(position, prev, npart)
+                cand = aux.pop("cand")
+                return NeighborList(
+                    idx=cand,
+                    did_buffer_overflow=overflow,
+                    update_fn=update,
+                    format="slot",
+                    aux=aux,
+                )
+
+            return update
         if format == "dense":
             if eff_backend == "pallas":
                 edges = edges_fn_factory(
@@ -738,7 +797,7 @@ def neighbor_list(
             position, num_particles
         )
         if capacity_boost != 1.0:
-            if format == "dense":
+            if format in ("dense", "slot"):
                 align = 8 if eff_backend == "pallas" else 4
             else:
                 align = 128
@@ -746,7 +805,26 @@ def neighbor_list(
             cell_cap = _round_up(cell_cap * capacity_boost, 4) if cell_cap else 0
         update = _make_update(e_cap, cell_cap, col_grid, eff_backend)
         n = position.shape[0]
-        if format == "dense":
+        aux = None
+        if format == "slot":
+            # placeholder with the exact shapes/dtypes the update emits, so
+            # a shell can stand in for an updated list inside jit traces
+            from . import neighbors_pallas
+
+            bases, n_cols, _ = neighbors_pallas.stencil_bases(col_grid)
+            n_ext = (n_cols + 1) * cell_cap
+            dim_ = position.shape[-1]
+            idx = jnp.full(
+                (n_ext, e_cap), bases.shape[1] * cell_cap, dtype=jnp.int32
+            )
+            aux = {
+                "rel_disp": jnp.zeros((n_ext, e_cap, dim_), jnp.float32),
+                "rel_dist": jnp.zeros((n_ext, e_cap, 1), jnp.float32),
+                "slot_to_particle": jnp.full((n_ext,), n, jnp.int32),
+                "particle_to_slot": jnp.zeros((n,), jnp.int32),
+                "bases": jnp.asarray(bases),
+            }
+        elif format == "dense":
             idx = jnp.full((n, e_cap), n, dtype=jnp.int32)
         else:
             idx = jnp.full((2, e_cap), n, dtype=jnp.int32)
@@ -755,6 +833,7 @@ def neighbor_list(
             did_buffer_overflow=jnp.asarray(False),
             update_fn=update,
             format=format,
+            aux=aux,
         )
 
     def allocate(

@@ -50,6 +50,7 @@ def _scan_kernel(
     n_steps: int,
     box: tuple,
     pbc: tuple,
+    emit: str = "senders",
 ):
     """One grid iteration: one receiver column vs its whole stencil.
 
@@ -61,12 +62,22 @@ def _scan_kernel(
     difference (cells are >= the cutoff, so only the wrap image can
     matter), and free-axis out-of-range offsets point at a sentinel
     column whose candidates are index-masked.
+
+    ``emit`` selects the packed payload:
+        "senders" — per-slot sender PARTICLE ids (fill n_particles), the
+            particle-order dense format (scattered back by the caller);
+        "slot" — per-slot stencil-candidate index in [0, S*Ccol) (fill
+            S*Ccol) PLUS the cutoff-normalized per-axis displacement and
+            distance, all in column-slot order. This is the slot-space
+            graph: downstream kernels re-localize a candidate id to the
+            sender's slot row via the same base table, and the geometry
+            outputs make the XLA-side sender-position gather + min-image
+            wrap chain unnecessary.
     """
     recv_pos_ref = refs[0]
     send_pos_refs = refs[1 : 1 + n_steps]
     send_idx_refs = refs[1 + n_steps : 1 + 2 * n_steps]
-    out_ref = refs[1 + 2 * n_steps]
-    ovf_ref = refs[2 + 2 * n_steps]
+    out_refs = refs[1 + 2 * n_steps :]
 
     rp = recv_pos_ref[0]  # (Ccol, dim)
     ndim = rp.shape[1]
@@ -77,6 +88,7 @@ def _scan_kernel(
     widx = jnp.concatenate([r[0] for r in send_idx_refs], axis=1)
 
     dist2 = None
+    diffs = []
     for dd in range(ndim):
         diff = rp[:, dd : dd + 1] - wpos[dd : dd + 1, :]  # (Ccol, S*Ccol)
         if pbc[dd]:
@@ -84,6 +96,8 @@ def _scan_kernel(
             # lowering trips a pallas/mosaic lowering-cache bug, and the
             # half-way case is measure-zero here
             diff = diff - box[dd] * jnp.floor(diff * (1.0 / box[dd]) + 0.5)
+        if emit == "slot":
+            diffs.append(diff)
         dist2 = diff * diff if dist2 is None else dist2 + diff * diff
     mask = (dist2 <= cutoff2) & (widx < n_particles)
 
@@ -99,22 +113,42 @@ def _scan_kernel(
                    preferred_element_type=jnp.float32)
     slot = jnp.where(mask, csum.astype(jnp.int32) - 1, -1)
 
+    # the packed payloads: sender ids (or candidate positions) + geometry
+    if emit == "slot":
+        inv_cutoff = 1.0 / float(cutoff2) ** 0.5
+        cand_f = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1).astype(
+            jnp.float32
+        )  # candidate index within the stencil
+        payloads = [cand_f] + [d * inv_cutoff for d in diffs] + [
+            jnp.sqrt(dist2) * inv_cutoff
+        ]
+    else:
+        cand_f = widx.astype(jnp.float32)  # (1, S*Ccol)
+        payloads = [cand_f]
+
     # per-output-slot selection, unrolled over K to keep peak VMEM at a few
-    # (Ccol, S*Ccol) temporaries (a (.., .., K) one-hot blows the budget)
-    cand_f = widx.astype(jnp.float32)  # (1, S*Ccol)
-    cols = []
+    # (Ccol, S*Ccol) temporaries (a (.., .., K) one-hot blows the budget);
+    # the per-k selection mask is shared across payloads
+    cols = [[] for _ in payloads]
     for k in range(k_cap):
         sel = (slot == k).astype(jnp.float32)
-        cols.append(jnp.sum(sel * cand_f, axis=1, keepdims=True))
-    acc = jnp.concatenate(cols, axis=1)  # (Ccol, K)
+        for pi, pay in enumerate(payloads):
+            cols[pi].append(jnp.sum(sel * pay, axis=1, keepdims=True))
+    packed = [jnp.concatenate(c, axis=1) for c in cols]  # (Ccol, K) each
     counts = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
     # invalid receiver slots accumulate garbage min-image distances; their
     # sentinel position (1e9, far beyond any box) gates them out
     recv_valid = rp[:, 0:1] < 1e8
     counts = jnp.where(recv_valid, counts, 0)
 
+    acc = packed[0]
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[0], k_cap), 1)
-    out_ref[0] = jnp.where(k_iota < counts, acc.astype(jnp.int32), n_particles)
+    valid_k = k_iota < counts
+    fill = cw if emit == "slot" else n_particles
+    out_refs[0][0] = jnp.where(valid_k, acc.astype(jnp.int32), fill)
+    for pi in range(1, len(payloads)):
+        out_refs[pi][0] = jnp.where(valid_k, packed[pi], 0.0)
+    ovf_ref = out_refs[len(payloads)]
     ovf_ref[0] = jnp.max(counts).reshape(1, 1)
 
 
@@ -235,6 +269,7 @@ def _table_from_cid(
         table.reshape(num_cells, cell_cap),
         table_pos.reshape(num_cells, cell_cap, dim),
         overflow,
+        slots,
     )
 
 
@@ -254,7 +289,7 @@ def build_cell_table_pallas(
     cid = nb._flatten_coords(coords, grid)
     valid = jnp.arange(n, dtype=jnp.int32) < num_particles
     cid = jnp.where(valid, cid, grid.num_cells).astype(jnp.int32)
-    table, table_pos, overflow = _table_from_cid(
+    table, table_pos, overflow, _ = _table_from_cid(
         cid, position, grid.num_cells, cell_cap, tile, interpret
     )
     return table, table_pos, overflow, coords
@@ -281,7 +316,7 @@ def build_column_table_pallas(
     num_cols = int(np.prod(cps[:-1]))
     valid = jnp.arange(n, dtype=jnp.int32) < num_particles
     cid = jnp.where(valid, cid, num_cols).astype(jnp.int32)
-    table, table_pos, overflow = _table_from_cid(
+    table, table_pos, overflow, _ = _table_from_cid(
         cid, position, num_cols, col_cap, tile, interpret
     )
     return table, table_pos, overflow
@@ -398,7 +433,7 @@ def make_edges_fn(
         ).reshape(-1)
         # table payloads are LOCAL particle ids (senders are per-sample)
         local_ids = jnp.tile(jnp.arange(n, dtype=jnp.int32), bsz)
-        table_idx, table_pos, col_overflow = _table_from_cid(
+        table_idx, table_pos, col_overflow, _ = _table_from_cid(
             cid_flat,
             position.reshape(bsz * n, dim),
             bsz * n_cols,
@@ -544,5 +579,249 @@ def make_edges_fn(
             npart = jnp.broadcast_to(npart, (axis_size,))
         senders, overflow = _edges_impl(position, npart)
         return (senders, overflow), (True, True)
+
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# slot-space graph (cell-sorted execution)
+# ---------------------------------------------------------------------------
+
+
+def stencil_bases(grid: "nb._Grid") -> Tuple[np.ndarray, int, int]:
+    """Per-(column, stencil-step) wrapped column ids.
+
+    Returns (bases (n_cols, S) int32, n_cols, S). Entry ``bases[t, j]`` is
+    the column id feeding stencil step j of receiver column t; free-axis
+    out-of-range steps point at the shared sentinel column ``n_cols``.
+    Identical to the table built inline by ``make_edges_fn``.
+    """
+    cps = grid.cells_per_side
+    dim = len(cps)
+    if dim == 3:
+        ncx, ncy = cps[0], cps[1]
+        n_cols = ncx * ncy
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        bases = np.empty((n_cols, len(offs)), dtype=np.int32)
+        for t, (ix, iy) in enumerate(
+            (ix, iy) for ix in range(ncx) for iy in range(ncy)
+        ):
+            for j, (dx, dy) in enumerate(offs):
+                jx, jy = ix + dx, iy + dy
+                ok = True
+                if grid.pbc[0]:
+                    jx %= ncx
+                elif not (0 <= jx < ncx):
+                    ok = False
+                if grid.pbc[1]:
+                    jy %= ncy
+                elif not (0 <= jy < ncy):
+                    ok = False
+                bases[t, j] = jx * ncy + jy if ok else n_cols
+    else:
+        ncx = cps[0]
+        n_cols = ncx
+        offs = [(-1,), (0,), (1,)]
+        bases = np.empty((n_cols, 3), dtype=np.int32)
+        for ix in range(ncx):
+            for j, (dx,) in enumerate(offs):
+                jx = ix + dx
+                ok = True
+                if grid.pbc[0]:
+                    jx %= ncx
+                elif not (0 <= jx < ncx):
+                    ok = False
+                bases[ix, j] = jx if ok else n_cols
+    return bases, n_cols, len(offs)
+
+
+def make_slot_edges_fn(
+    displacement_fn: Callable,
+    cutoff: float,
+    grid: "nb._Grid",
+    e_cap: int,  # per-row K capacity
+    cell_cap: int,  # per-COLUMN capacity
+    box: Optional[Sequence[float]] = None,
+    interpret: Optional[bool] = None,
+):
+    """Slot-space variant of ``make_edges_fn`` (single-sample).
+
+    The graph never leaves column-slot order: no scatter back to particle
+    order, and the kernel emits geometry (cutoff-normalized rel_disp /
+    rel_dist, min-imaged in-VMEM) alongside stencil-candidate indices, so
+    the feature chain does no sender-position gather at all.
+
+    Returns ``fn(position, num_particles) -> (aux, overflow)`` with
+
+    * ``aux["cand"]`` (n_slots, K) int32 — stencil-candidate index in
+      [0, S*C); fill S*C. Receiver of row ``r`` is slot ``r``; the sender
+      of candidate ``c`` lives in slot ``bases[r // C, c // C] * C + c % C``.
+    * ``aux["rel_disp"]`` (n_slots, K, dim), ``aux["rel_dist"]``
+      (n_slots, K, 1) — receiver-minus-sender, cutoff-normalized, zeros in
+      padded slots (the feature contract of case/features.py).
+    * ``aux["slot_to_particle"]`` (n_slots + C,) int32 — fill N; the extra
+      C rows are the sentinel column (so node-state arrays sized
+      n_slots + C can be DMA'd per stencil step without bounds checks).
+    * ``aux["particle_to_slot"]`` (N,) int32.
+    * ``aux["bases"]`` (n_cols, S) int32 — static stencil table.
+
+    n_slots = n_cols * C is static (from the column grid and capacity).
+    """
+    assert grid is not None, "slot-space edges need a cell grid"
+    dim = len(grid.cells_per_side)
+    assert dim in (2, 3), "slot-space kernel supports 2D/3D"
+    k_cap = e_cap
+    C = cell_cap
+    if interpret is None:
+        interpret = _interpret_default()
+
+    cps = grid.cells_per_side
+    if box is None:
+        box = [grid.cell_size[d] * cps[d] for d in range(dim)]
+
+    bases, n_cols, n_steps = stencil_bases(grid)
+    n_tiles = n_cols
+    cutoff2 = float(cutoff) ** 2
+    box_t = tuple(float(b) for b in box)
+    pbc_t = tuple(bool(p) for p in grid.pbc)
+
+    cw = n_steps * C
+    vmem_estimate = C * cw * 4 * 8 + cw * cw * 2
+    assert vmem_estimate < nb._kernel_vmem_budget(), (
+        f"column capacity {C} too large for the slot kernel's VMEM budget"
+    )
+    bases_j = jnp.asarray(bases)
+
+    def edges(position: jnp.ndarray, num_particles):
+        n, _ = position.shape
+        npart = jnp.asarray(num_particles, jnp.int32)
+
+        coords = nb._cell_coords(position, grid)
+        cid = coords[:, 0]
+        for d in range(1, dim - 1):
+            cid = cid * cps[d] + coords[:, d]
+        valid = jnp.arange(n, dtype=jnp.int32) < npart
+        cid = jnp.where(valid, cid, n_cols).astype(jnp.int32)
+
+        table_idx, table_pos, col_overflow, part_slot = _table_from_cid(
+            cid, position, n_cols, C, tile=512, interpret=interpret
+        )
+
+        # sentinel column: invalid idx, far positions
+        sentinel = jnp.asarray(1e9, table_pos.dtype)
+        idx_f = jnp.concatenate(
+            [table_idx, jnp.full((1, C), n, jnp.int32)], axis=0
+        )
+        pos_f = jnp.concatenate(
+            [table_pos, jnp.full((1, C, dim), sentinel, table_pos.dtype)],
+            axis=0,
+        )
+
+        kernel = partial(
+            _scan_kernel,
+            cutoff2=cutoff2,
+            n_particles=n,
+            k_cap=k_cap,
+            n_steps=n_steps,
+            box=box_t,
+            pbc=pbc_t,
+            emit="slot",
+        )
+
+        def _send_pos_spec(j):
+            return pl.BlockSpec(
+                (1, dim, C),
+                lambda t, b, j=j: (b[t, j], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def _send_idx_spec(j):
+            return pl.BlockSpec(
+                (1, 1, C),
+                lambda t, b, j=j: (b[t, j], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        out_tile = pl.BlockSpec(
+            (1, C, k_cap), lambda t, b: (t, 0, 0), memory_space=pltpu.VMEM
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, C, dim), lambda t, b: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            + [_send_pos_spec(j) for j in range(n_steps)]
+            + [_send_idx_spec(j) for j in range(n_steps)],
+            out_specs=[out_tile]
+            + [out_tile] * (dim + 1)
+            + [
+                pl.BlockSpec(
+                    (1, 1, 1), lambda t, b: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+        )
+        pos_f32 = pos_f.astype(jnp.float32)
+        pos_t = jnp.transpose(pos_f32, (0, 2, 1))
+        idx_r = idx_f.reshape(n_cols + 1, 1, C)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles, C, k_cap), jnp.int32),
+            ]
+            + [
+                jax.ShapeDtypeStruct((n_tiles, C, k_cap), jnp.float32)
+                for _ in range(dim + 1)
+            ]
+            + [jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32)],
+            interpret=interpret,
+        )(bases_j, pos_f32, *([pos_t] * n_steps), *([idx_r] * n_steps))
+
+        # pad one sentinel column of rows so every array is ext-sized
+        # ((n_cols + 1) * C): downstream kernels then run a uniform grid
+        # over n_cols + 1 tiles with no uninitialized state (the sentinel
+        # tile's candidates are all-masked)
+        cand = jnp.concatenate(
+            [
+                outs[0].reshape(n_tiles * C, k_cap),
+                jnp.full((C, k_cap), cw, jnp.int32),
+            ]
+        )
+        disp = jnp.concatenate(
+            [
+                jnp.stack(
+                    [o.reshape(n_tiles * C, k_cap) for o in outs[1 : 1 + dim]],
+                    axis=-1,
+                ),
+                jnp.zeros((C, k_cap, dim), jnp.float32),
+            ]
+        )
+        dist = jnp.concatenate(
+            [
+                outs[1 + dim].reshape(n_tiles * C, k_cap, 1),
+                jnp.zeros((C, k_cap, 1), jnp.float32),
+            ]
+        )
+        ovf = outs[2 + dim]
+
+        s2p = jnp.concatenate(
+            [table_idx.reshape(-1), jnp.full((C,), n, jnp.int32)]
+        )
+        max_rowcount = jnp.max(ovf)
+        overflow = (max_rowcount > k_cap) | col_overflow
+        aux = {
+            "cand": cand,
+            "rel_disp": disp,
+            "rel_dist": dist,
+            "slot_to_particle": s2p,
+            "particle_to_slot": part_slot,
+            "bases": bases_j,
+        }
+        return aux, overflow
 
     return edges
