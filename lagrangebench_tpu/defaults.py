@@ -149,6 +149,9 @@ def set_defaults() -> Config:
     # -- parallelism (new vs reference: ICI data parallelism) -------------
     cfg.parallel = Config()
     cfg.parallel.data = -1  # data-parallel mesh size; -1 = all local devices
+    # spatial (particle-axis) sharding for inference: number of x-slabs /
+    # devices; 0 = off. GNS only; see parallel/spatial.py
+    cfg.parallel.spatial = 0
 
     return cfg
 

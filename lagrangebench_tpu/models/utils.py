@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -98,6 +99,37 @@ class LinearXav(nn.Module):
             dtype=self.dtype,
             precision=matmul_precision(self.dtype),
         )(x)
+
+
+def apply_dense_params(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply one flax Dense parameter subtree {"kernel"[, "bias"]}."""
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def apply_mlp_params(
+    p: dict, x: jnp.ndarray, layer_norm: bool = True, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Apply an `MLP` module's parameter subtree functionally.
+
+    The single functional mirror of :class:`MLP` (relu-activated Dense
+    chain + optional LayerNorm with haiku's epsilon) for code paths that
+    consume a trained parameter tree outside flax (parallel/spatial.py).
+    """
+    n_dense = len([k for k in p if k.startswith("Dense")])
+    for i in range(n_dense):
+        x = apply_dense_params(p[f"Dense_{i}"], x)
+        if i < n_dense - 1:
+            x = jax.nn.relu(x)
+    if layer_norm:
+        ln = p["LayerNorm_0"]
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + eps)
+        x = x * ln["scale"].astype(x.dtype) + ln["bias"].astype(x.dtype)
+    return x
 
 
 def concat_node_features(features: dict) -> jnp.ndarray:

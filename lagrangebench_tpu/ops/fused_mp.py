@@ -75,7 +75,7 @@ def encode_edges_reference(raw: jnp.ndarray, enc: Dict[str, jnp.ndarray],
 
     Mirror of the in-kernel edge encoder: e = LN(relu(raw@W1+b1)@W2+b2).
     """
-    f32 = jnp.float32
+    f32 = jnp.float64 if jnp.dtype(cdt) == jnp.float64 else jnp.float32
     prec = _mirror_precision(cdt)
     x = jnp.dot(raw.astype(cdt), enc["enc_w1"].astype(cdt),
                 preferred_element_type=f32, precision=prec) + enc["enc_b1"]
@@ -97,7 +97,9 @@ def gns_mp_step_reference(
     """Pure-jax mirror of the fused kernel (same math, same params)."""
     if enc is not None:
         e = encode_edges_reference(e, enc, hs_gath.dtype)
-    f32 = jnp.float32
+    # accumulate in f64 when running the float64 parity mode (the kernel
+    # itself is f32-accumulating; f64 runs only through this mirror)
+    f32 = jnp.float64 if e.dtype == jnp.float64 else jnp.float32
     prec = _mirror_precision(e.dtype)
     first = (
         jnp.dot(e, p["w_e"].astype(e.dtype), preferred_element_type=f32,

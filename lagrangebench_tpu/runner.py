@@ -151,6 +151,25 @@ def train_or_infer(cfg: Config):
             else:
                 params, state, _, _ = load_checkpoint(load_dir)
 
+        n_spatial = int(cfg.parallel.get("spatial", 0) or 0)
+        if n_spatial > 1:
+            # spatially-sharded inference (particle-axis slabs; GNS only)
+            assert cfg.model.name.lower() == "gns", (
+                "parallel.spatial supports the GNS model"
+            )
+            from .parallel.spatial import infer_spatial
+
+            eval_metrics = infer_spatial(
+                params, case, data_test,
+                n_devices=n_spatial,
+                num_mp_steps=cfg.model.num_mp_steps,
+                cfg_eval_infer=cfg.eval.infer,
+                n_rollout_steps=cfg.eval.n_rollout_steps,
+            )
+            metrics = averaged_metrics(eval_metrics)
+            print(metrics)
+            return metrics
+
         rollout_dir = cfg.eval.rollout_dir
         eval_metrics = infer(
             model_apply,

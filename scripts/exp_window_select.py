@@ -33,7 +33,7 @@ CUTOFF = 1.45 * 0.05
 NCX = math.floor(1.0 / CUTOFF)  # 13 x-slabs (NL column granularity)
 YF = 4 * NCX  # fine y bins (cutoff/4)
 T = 128  # receiver rows per program
-SUB = 16  # rows per sub-select
+SUB = 32  # rows per sub-select
 MULT = 1.25
 
 
@@ -190,8 +190,13 @@ def build_structure(seed=0):
     W = -(-W // 8) * 8
     WSUB = -(-WSUB // 8) * 8
     # keep every sub-slice inside the tile window: soff + WSUB <= W (valid
-    # candidates still fit — the window end bound guarantees it)
+    # candidates still fit — the window end bound guarantees it). Stored in
+    # 8-row units so the kernel's dynamic VMEM slice offset is provably
+    # 8-aligned (soff entries are already multiples of 8 by construction).
     soff = np.minimum(soff, W - WSUB)
+    assert (soff % 8 == 0).all()
+    soff_enc = soff  # encoding uses row units
+    soff = soff // 8
     print(f"n_rows={n_rows} n_ext={n_ext} tiles={n_tiles} W={W} WSUB={WSUB} "
           f"p99 sub-span={int(np.percentile(spans, 99))}")
 
@@ -218,7 +223,7 @@ def build_structure(seed=0):
                     else:
                         raise AssertionError((t, u, r, k, yfs, lo, hi))
                     sext = ext_of_bin(sslab, v) + rank
-                    local = sext - (w0[t, sx] + soff[t, u, sx])
+                    local = sext - (w0[t, sx] + soff_enc[t, u, sx])
                     assert 0 <= local < WSUB, (
                         srow, sext, w0[t, sx], soff[t, u, sx], WSUB
                     )
@@ -228,10 +233,11 @@ def build_structure(seed=0):
 
 
 def make_window_kernel(n_rows, W, WSUB, n_tiles, nsub):
-    def kernel(w0_ref, soff_ref, e_ref, cand_ref, hr_ref, h_ref, hs_hbm,
-               *p_and_out, scratch, sem):
-        p_refs = p_and_out[:13]
-        e_out_ref, h_out_ref = p_and_out[13:15]
+    def kernel(w0_ref, soff_ref, e_ref, cand_ref, mask_ref, hr_ref, h_ref,
+               hs_hbm, *rest):
+        p_refs = rest[:13]
+        e_out_ref, h_out_ref = rest[13:15]
+        scratch, sem = rest[15:17]
         t = pl.program_id(0)
         cdt = hr_ref.dtype
         f32 = jnp.float32
@@ -248,25 +254,25 @@ def make_window_kernel(n_rows, W, WSUB, n_tiles, nsub):
         for cp in cps:
             cp.wait()
 
-        cand = cand_ref[...]
+        cand = cand_ref[...]  # (T*K, 1) int32 — pre-flattened outside
         hs_parts = []
         for u in range(nsub):
             win = jnp.concatenate(
                 [
-                    scratch[pl.ds(sx * W + soff_ref[t, u, sx], WSUB)]
+                    scratch[pl.ds(sx * W + soff_ref[t, u, sx] * 8, WSUB)]
                     for sx in range(3)
                 ],
                 axis=0,
             )  # (3*WSUB, F)
-            cu = cand[u * SUB : (u + 1) * SUB].reshape(SUB * K, 1)
+            cu = cand[u * SUB * K : (u + 1) * SUB * K]  # (SUB*K, 1)
             sel = (
                 cu == jax.lax.broadcasted_iota(jnp.int32, (SUB * K, 3 * WSUB), 1)
             ).astype(cdt)
             hs_parts.append(
-                jnp.dot(sel, win, preferred_element_type=f32)
+                jnp.dot(sel, win.astype(cdt), preferred_element_type=f32)
             )
         hs = jnp.concatenate(hs_parts, axis=0)  # (T*K, F) f32
-        mask = (cand < 3 * WSUB).astype(f32)
+        mask = mask_ref[...].astype(f32)  # (T, K)
 
         f = e_ref.shape[-1]
         e2 = e_ref[...].reshape(T * K, f)
@@ -291,7 +297,8 @@ def main():
     hs = jnp.asarray(rng.normal(size=(n_rows, F)), cdt)
     p = fused_mp.init_step_params(jax.random.PRNGKey(0), F)
     params = fused_mp._row_params(p, fused_mp._MP_KERNEL_PARAMS, F, cdt)
-    cand_j = jnp.asarray(cand)
+    cand_j = jnp.asarray(cand).reshape(n_rows * K, 1)
+    mask_j2 = jnp.asarray((cand < 3 * WSUB).astype(np.float32))
     w0_j = jnp.asarray(w0)
     soff_j = jnp.asarray(soff)
 
@@ -301,7 +308,9 @@ def main():
                          memory_space=pltpu.VMEM)
     tile2 = pl.BlockSpec((T, F), lambda t, a, b: (t, 0),
                          memory_space=pltpu.VMEM)
-    candsp = pl.BlockSpec((T, K), lambda t, a, b: (t, 0),
+    candsp = pl.BlockSpec((T * K, 1), lambda t, a, b: (t, 0),
+                          memory_space=pltpu.VMEM)
+    masksp = pl.BlockSpec((T, K), lambda t, a, b: (t, 0),
                           memory_space=pltpu.VMEM)
 
     def full_spec(arr):
@@ -311,7 +320,7 @@ def main():
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[tile3, candsp, tile2, tile2,
+        in_specs=[tile3, candsp, masksp, tile2, tile2,
                   pl.BlockSpec(memory_space=pltpu.ANY)]
         + [full_spec(q) for q in params],
         out_specs=[tile3, tile2],
@@ -331,7 +340,7 @@ def main():
                     jax.ShapeDtypeStruct((n_rows, K, F), cdt),
                     jax.ShapeDtypeStruct((n_rows, F), cdt),
                 ],
-            )(w0_j, soff_j, e, cand_j, hr, h, hs_ext, *params)
+            )(w0_j, soff_j, e, cand_j, mask_j2, hr, h, hs_ext, *params)
             return (e2, h2), None
         (e, h), _ = jax.lax.scan(body, (e, h), None, length=10)
         return e, h
@@ -344,7 +353,7 @@ def main():
             c = cand[rows]
             valid = c < 3 * WSUB
             sx = np.clip(c // WSUB, 0, 2)
-            extrow = w0[t, sx] + soff[t, u][sx] + c % WSUB
+            extrow = w0[t, sx] + soff[t, u][sx] * 8 + c % WSUB
             senders_abs[rows] = np.where(
                 valid, ext_idx[np.clip(extrow, 0, n_ext - 1)], n_rows
             )
@@ -380,7 +389,7 @@ def main():
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_rows, K, F), cdt),
                    jax.ShapeDtypeStruct((n_rows, F), cdt)],
-    )(w0_j, soff_j, e, cand_j, hr, h, hs[ext_idx_j], *params)
+    )(w0_j, soff_j, e, cand_j, mask_j2, hr, h, hs[ext_idx_j], *params)
     hs_g = hs[jnp.minimum(senders_j, n_rows - 1)] * mask_j[..., None].astype(cdt)
     e2, h2 = fused_mp.gns_mp_step_reference(e, hs_g, hr, h, mask_j, p)
     print("max |e| diff:", float(jnp.max(jnp.abs(e1.astype(jnp.float32) - e2.astype(jnp.float32)))))

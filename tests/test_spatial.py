@@ -96,3 +96,135 @@ def test_spatial_sharded_forward_matches_unsharded():
         start += c
 
     np.testing.assert_allclose(got, acc_ref, rtol=1e-9, atol=1e-10)
+
+
+def _make_case_and_model(n, dim, isl, box, cutoff, mp_steps, latent, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, box, size=(n, 1, dim))
+    vel = rng.normal(0, 2e-3, size=(n, 1, dim))
+    pos = np.mod(base + vel * np.arange(isl + 8)[None, :, None], box)
+    ptype = np.zeros(n, dtype=np.int32)
+    metadata = {
+        "dim": dim,
+        "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "bounds": [[0.0, box]] * dim,
+        "default_connectivity_radius": cutoff,
+        "vel_mean": [0.0] * dim,
+        "vel_std": [1e-3] * dim,
+        "acc_mean": [0.0] * dim,
+        "acc_std": [1e-4] * dim,
+    }
+    case = case_builder(
+        box=[box] * dim, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=0.0, dtype=jnp.float64,
+    )
+    model = GNS(particle_dimension=dim, latent_size=latent,
+                num_mp_steps=mp_steps, compute_dtype="float64")
+    init, apply = make_model_fns(model)
+    features, nbrs = case.allocate_eval((pos[:, :isl], ptype))
+    params, _ = init(jax.random.PRNGKey(0), (features, ptype))
+
+    def to_f64(x):
+        x = np.asarray(x)
+        return (
+            jnp.asarray(x, jnp.float64)
+            if x.dtype.kind == "f"
+            else jnp.asarray(x)
+        )
+
+    params64 = jax.tree.map(to_f64, params)
+    return case, apply, params64, pos, ptype, nbrs, metadata
+
+
+def test_spatial_forward_matches_unsharded_16k():
+    """VERDICT r2 #3(d): 8-virtual-device parity at >= 16k particles, with
+    the cell-table per-device NL (no O(N^2) candidate matrix)."""
+    n, dim, isl = 16384, 3, 3
+    box, cutoff = 1.0, 0.04
+    mp_steps, latent = 2, 8
+    case, apply, params64, pos, ptype, nbrs, _ = _make_case_and_model(
+        n, dim, isl, box, cutoff, mp_steps, latent
+    )
+    features, _ = case.allocate_eval((pos[:, :isl], ptype))
+    features64 = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+        if np.asarray(x).dtype.kind == "f" else jnp.asarray(x),
+        features,
+    )
+    out_ref, _ = apply(params64, {}, (features64, jnp.asarray(ptype)))
+    acc_ref = np.asarray(out_ref["acc"])
+
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    from lagrangebench_tpu.parallel.spatial import spatial_caps
+
+    k_cap, cell_cap = spatial_caps(pos[:, isl - 1], [box] * dim, cutoff)
+    pos_sh, ptype_sh, counts, order = spatial_partition(
+        pos[:, :isl], ptype, n_dev, box_x=box
+    )
+    fwd = build_spatial_gns_forward(
+        mesh, params64, box=[box] * dim, cutoff=cutoff,
+        input_seq_length=isl, num_mp_steps=mp_steps, k_cap=k_cap,
+        cell_cap=cell_cap, vel_mean=jnp.zeros(dim),
+        vel_std=jnp.full(dim, 1e-3), compute_dtype=jnp.float64,
+    )
+    acc_sh, overflow = fwd(
+        jnp.asarray(pos_sh, jnp.float64), jnp.asarray(ptype_sh),
+        jnp.asarray(counts)[:, None],
+    )
+    assert not bool(overflow)
+    acc_sh = np.asarray(acc_sh)
+    got = np.zeros_like(acc_ref)
+    start = 0
+    for d in range(n_dev):
+        c = int(counts[d])
+        got[order[start : start + c]] = acc_sh[d, :c]
+        start += c
+    np.testing.assert_allclose(got, acc_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_spatial_rollout_matches_unsharded():
+    """Chunked spatial rollout == the standard eval rollout update rule."""
+    from lagrangebench_tpu.parallel.spatial import spatial_rollout
+
+    n, dim, isl = 4096, 3, 3
+    box, cutoff = 1.0, 0.06
+    mp_steps, latent = 2, 8
+    n_steps = 5
+    case, apply, params64, pos, ptype, nbrs, _ = _make_case_and_model(
+        n, dim, isl, box, cutoff, mp_steps, latent, seed=3
+    )
+
+    # unsharded reference rollout (the production update rule)
+    cur = jnp.asarray(pos[:, :isl], jnp.float64)
+    ptype_j = jnp.asarray(ptype)
+    ref = []
+    nbrs_ref = nbrs
+    for _ in range(n_steps):
+        feats, nbrs_ref = case.preprocess_eval((cur, ptype_j), nbrs_ref)
+        assert not bool(nbrs_ref.did_buffer_overflow)
+        feats64 = jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if hasattr(x, "dtype") and x.dtype.kind == "f" else x,
+            feats,
+        )
+        out, _ = apply(params64, {}, (feats64, ptype_j))
+        next_pos = case.integrate(
+            {"acc": jnp.asarray(out["acc"], jnp.float64)}, cur
+        )
+        ref.append(np.asarray(next_pos))
+        cur = jnp.concatenate([cur[:, 1:], next_pos[:, None]], axis=1)
+    ref = np.stack(ref)  # (T, N, dim)
+
+    mesh = make_mesh(8)
+    stats = case.normalization_stats
+    preds = spatial_rollout(
+        params64, pos[:, :isl].astype(np.float64), ptype, mesh=mesh,
+        box=[box] * dim, cutoff=cutoff, input_seq_length=isl,
+        num_mp_steps=mp_steps, n_steps=n_steps,
+        normalization_stats=stats, chunk=2, compute_dtype=jnp.float64,
+    )
+    np.testing.assert_allclose(preds, ref, rtol=1e-7, atol=1e-9)
