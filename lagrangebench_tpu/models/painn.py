@@ -95,13 +95,23 @@ class GatedEquivariantBlock(nn.Module):
 
 
 class PaiNNLayer(nn.Module):
-    """PaiNN interaction + mixing block."""
+    """PaiNN interaction + mixing block.
+
+    With ``use_fused`` (dense edge layout only), everything after the
+    interaction context-net runs as ONE Pallas launch per layer
+    (ops/painn_msg.painn_layer): the model is dispatch-bound at
+    LagrangeBench scales, so collapsing the ~20 node-level XLA ops
+    matters more than their FLOPs. The fused variant declares the
+    vector-mix / mixing-net parameters as flat arrays — convert a
+    standard tree with :func:`painn_fused_params_from_standard`.
+    """
 
     hidden_size: int
     activation: Callable = nn.silu
     blocks: int = 2
     eps: float = 1e-8
     dtype: jnp.dtype = None
+    use_fused: bool = False
 
     def _context_net(self, x, name):
         for _ in range(self.blocks - 1):
@@ -143,9 +153,31 @@ class PaiNNLayer(nn.Module):
             # stored dir points sender -> receiver; the flipped (dense)
             # form needs receiver -> sender, hence the minus.
             mask = (senders < n)[..., None].astype(Wij.dtype)
-            from ..ops.painn_msg import painn_message
+            from ..ops import painn_msg
 
-            ds, dv_flat = painn_message(
+            if self.use_fused:
+                assert self.blocks == 2 and self.activation is nn.silu, (
+                    "fused PaiNN layer supports blocks=2 with silu"
+                )
+                xav = nn.initializers.xavier_uniform()
+                p = {
+                    "vmix_w": self.param("vmix_w", xav, (h, 2 * h)),
+                    "mix_w1": self.param("mix_w1", xav, (2 * h, h)),
+                    "mix_b1": self.param(
+                        "mix_b1", nn.initializers.zeros_init(), (h,)
+                    ),
+                    "mix_w2": self.param("mix_w2", xav, (h, 3 * h)),
+                    "mix_b2": self.param(
+                        "mix_b2", nn.initializers.zeros_init(), (3 * h,)
+                    ),
+                }
+                s_out, v_out_flat = painn_msg.painn_layer(
+                    g, Wij * mask, -dir_ij.astype(Wij.dtype),
+                    s, v.reshape(n, vdim * h), p,
+                )
+                return s_out, v_out_flat.reshape(n, vdim, h)
+
+            ds, dv_flat = painn_msg.painn_message(
                 g, Wij * mask, -dir_ij.astype(Wij.dtype), h
             )
             ds = ds.astype(s.dtype)
@@ -193,6 +225,9 @@ class PaiNN(BaseModel):
     shared_filters: bool = False
     eps: float = 1e-8
     compute_dtype: str = "float32"
+    # one Pallas launch per layer after the interaction net (dense layout;
+    # flat per-layer params — see PaiNNLayer.use_fused)
+    use_fused_layer: bool = False
 
     @nn.compact
     def __call__(self, sample: Sample) -> Dict[str, jnp.ndarray]:
@@ -248,7 +283,7 @@ class PaiNN(BaseModel):
         for i in range(self.num_mp_steps):
             s, v = PaiNNLayer(
                 hidden_size=self.hidden_size, activation=self.activation,
-                dtype=cdt,
+                dtype=cdt, use_fused=self.use_fused_layer,
             )(s, v, dir_ij.astype(cdt), filter_list[i], senders, receivers)
 
         # gated readout, halving widths per block
@@ -285,4 +320,32 @@ def build_painn(cfg_model, metadata):
         radius=metadata["default_connectivity_radius"] * 1.5,
         n_vels=cfg_model.input_seq_length - 1,
         compute_dtype=cfg_model.get("compute_dtype", "float32"),
+        use_fused_layer=cfg_model.get("fused_processor", False),
     )
+
+
+def painn_fused_params_from_standard(params, num_mp_steps: int):
+    """Re-layout standard PaiNN parameters for the fused-layer variant.
+
+    Pure rename/split: the per-layer vector-mix (LinearXav_2) and mixing
+    context net (LinearXav_3/4) become the flat arrays the fused kernel
+    consumes; everything else (embeddings, filters, interaction net,
+    readout) is unchanged.
+    """
+    out = {k: v for k, v in params.items() if not k.startswith("PaiNNLayer")}
+    for i in range(num_mp_steps):
+        lyr = dict(params[f"PaiNNLayer_{i}"])
+        vmix = lyr.pop("LinearXav_2")["Dense_0"]
+        m1 = lyr.pop("LinearXav_3")["Dense_0"]
+        m2 = lyr.pop("LinearXav_4")["Dense_0"]
+        lyr.update(
+            {
+                "vmix_w": vmix["kernel"],
+                "mix_w1": m1["kernel"],
+                "mix_b1": m1["bias"],
+                "mix_w2": m2["kernel"],
+                "mix_b2": m2["bias"],
+            }
+        )
+        out[f"PaiNNLayer_{i}"] = lyr
+    return out

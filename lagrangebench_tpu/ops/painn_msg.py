@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mp import _pick_tile
+from .fused_mp import _mirror_precision, _pick_tile
 
 
 def painn_message_reference(
@@ -149,3 +149,200 @@ def _painn_message_pallas(g, wij, neg_dir, h, interpret):
         ds = ds[:n]
         dv = dv[:n]
     return ds, dv
+
+
+# ---------------------------------------------------------------------------
+# full fused layer: message + aggregation + vector-mix + mixing context net
+# ---------------------------------------------------------------------------
+#
+# The PaiNN model is dispatch-bound at LagrangeBench scales (~0.7 ms/layer
+# of mostly launch overhead). This kernel runs everything after the
+# interaction context-net (which must stay node-level in XLA: the edge
+# gather needs sender x) in ONE launch per layer: the edge message block,
+# the clipped residual adds, the per-axis vector-mixing matmul, the norm
+# gate, the mixing context net and the final updates. Parameters arrive as
+# flat arrays (the model's fused variant declares them raw; convert a
+# standard tree with models.painn.painn_fused_params_from_standard).
+
+LAYER_PARAM_NAMES = ("vmix_w", "mix_w1", "mix_b1", "mix_w2", "mix_b2")
+
+
+def painn_layer_reference(g, wij, neg_dir, s, v_flat, p, eps: float = 1e-8):
+    """Pure-jax mirror of the fused layer; v_flat is (N, dim*H)."""
+    f32 = jnp.float32
+    h = s.shape[-1]
+    dim = neg_dir.shape[-1]
+    cdt = s.dtype
+    ds, dv = painn_message_reference(g, wij, neg_dir, h)
+    s1 = (s.astype(f32) + jnp.clip(ds, -1e2, 1e2)).astype(cdt)
+    v1 = (v_flat.astype(f32) + jnp.clip(dv, -1e2, 1e2)).astype(cdt)
+
+    prec = _mirror_precision(cdt)
+    vls, vrs = [], []
+    for d in range(dim):
+        vm = jnp.dot(v1[..., d * h:(d + 1) * h], p["vmix_w"].astype(cdt),
+                     preferred_element_type=f32, precision=prec)
+        vls.append(vm[..., :h])
+        vrs.append(vm[..., h:])
+    v_norm = jnp.sqrt(sum(vr * vr for vr in vrs) + eps)
+    ts = jnp.concatenate([s1.astype(f32), v_norm], axis=-1).astype(cdt)
+    z = jnp.dot(ts, p["mix_w1"].astype(cdt), preferred_element_type=f32,
+                precision=prec)
+    z = z + p["mix_b1"].astype(f32)
+    z = (z * jax.nn.sigmoid(z)).astype(cdt)  # silu
+    m = jnp.dot(z, p["mix_w2"].astype(cdt), preferred_element_type=f32,
+                precision=prec)
+    m = m + p["mix_b2"].astype(f32)
+    ds2 = m[..., :h]
+    dv2 = m[..., h:2 * h]
+    dsv = m[..., 2 * h:] * sum(vr * vl for vr, vl in zip(vrs, vls))
+    s_out = (s1.astype(f32) + jnp.clip(ds2 + dsv, -1e2, 1e2)).astype(cdt)
+    v_out = jnp.concatenate(
+        [
+            (v1[..., d * h:(d + 1) * h].astype(f32)
+             + jnp.clip(vls[d] * dv2, -1e2, 1e2)).astype(cdt)
+            for d in range(dim)
+        ],
+        axis=-1,
+    )
+    return s_out, v_out
+
+
+def _layer_kernel(g_ref, wij_ref, nd_ref, s_ref, v_ref,
+                  vmix_ref, mw1_ref, mb1_ref, mw2_ref, mb2_ref,
+                  s_out_ref, v_out_ref, *, h: int, dim: int,
+                  eps: float = 1e-8):
+    f32 = jnp.float32
+    cdt = s_ref.dtype
+    # ---- edge message + aggregation (as _msg_kernel)
+    msg = wij_ref[...].astype(f32) * g_ref[..., : 3 * h].astype(f32)
+    ds = jnp.sum(msg[..., :h], axis=1)
+    msg1 = msg[..., h: 2 * h]
+    msg2 = msg[..., 2 * h: 3 * h]
+    s1 = (s_ref[...].astype(f32) + jnp.clip(ds, -1e2, 1e2)).astype(cdt)
+
+    vls, vrs = [], []
+    v1s = []
+    for d in range(dim):
+        vg = g_ref[..., (3 + d) * h: (4 + d) * h].astype(f32)
+        nd = nd_ref[..., d: d + 1].astype(f32)
+        dv_d = jnp.sum(nd * msg1 + vg * msg2, axis=1)
+        v1_d = (
+            v_ref[..., d * h:(d + 1) * h].astype(f32)
+            + jnp.clip(dv_d, -1e2, 1e2)
+        ).astype(cdt)
+        v1s.append(v1_d)
+        vm = jnp.dot(v1_d, vmix_ref[...], preferred_element_type=f32)
+        vls.append(vm[..., :h])
+        vrs.append(vm[..., h:])
+
+    v_norm = jnp.sqrt(sum(vr * vr for vr in vrs) + eps)
+    ts = jnp.concatenate([s1.astype(f32), v_norm], axis=-1).astype(cdt)
+    z = jnp.dot(ts, mw1_ref[...], preferred_element_type=f32)
+    z = z + mb1_ref[...].astype(f32)
+    z = (z * jax.nn.sigmoid(z)).astype(cdt)
+    m = jnp.dot(z, mw2_ref[...], preferred_element_type=f32)
+    m = m + mb2_ref[...].astype(f32)
+    ds2 = m[..., :h]
+    dv2 = m[..., h:2 * h]
+    dsv = m[..., 2 * h:] * sum(vr * vl for vr, vl in zip(vrs, vls))
+    s_out_ref[...] = (
+        s1.astype(f32) + jnp.clip(ds2 + dsv, -1e2, 1e2)
+    ).astype(cdt)
+    for d in range(dim):
+        v_out_ref[..., d * h:(d + 1) * h] = (
+            v1s[d].astype(f32) + jnp.clip(vls[d] * dv2, -1e2, 1e2)
+        ).astype(cdt)
+
+
+def painn_layer(g, wij, neg_dir, s, v_flat, p,
+                interpret: Optional[bool] = None):
+    """Run one fused PaiNN layer step (differentiable; backward through
+    the mirror)."""
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return painn_layer_reference(g, wij, neg_dir, s, v_flat, p)
+        interpret = False
+    return _painn_layer_vjp(g, wij, neg_dir, s, v_flat, p, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _painn_layer_vjp(g, wij, neg_dir, s, v_flat, p, interpret):
+    return _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret)
+
+
+def _painn_layer_vjp_fwd(g, wij, neg_dir, s, v_flat, p, interpret):
+    out = _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret)
+    return out, (g, wij, neg_dir, s, v_flat, p)
+
+
+def _painn_layer_vjp_bwd(interpret, residuals, cotangents):
+    g, wij, neg_dir, s, v_flat, p = residuals
+    _, vjp = jax.vjp(
+        lambda g_, w_, n_, s_, v_, p_: painn_layer_reference(
+            g_, w_, n_, s_, v_, p_
+        ),
+        g, wij, neg_dir, s, v_flat, p,
+    )
+    return vjp(cotangents)
+
+
+_painn_layer_vjp.defvjp(_painn_layer_vjp_fwd, _painn_layer_vjp_bwd)
+
+
+def _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret):
+    n, k, gw = g.shape
+    h = s.shape[-1]
+    dim = neg_dir.shape[-1]
+    cdt = s.dtype
+    tile = _pick_tile(n, k * max(1, gw // 256), 128, row_budget=2400)
+    n_pad = -n % tile
+    if n_pad:
+        pad3 = ((0, n_pad), (0, 0), (0, 0))
+        pad2 = ((0, n_pad), (0, 0))
+        g = jnp.pad(g, pad3)
+        wij = jnp.pad(wij, pad3)
+        neg_dir = jnp.pad(neg_dir, pad3)
+        s = jnp.pad(s, pad2)
+        v_flat = jnp.pad(v_flat, pad2)
+    n_tiles = (n + n_pad) // tile
+
+    def spec3(width):
+        return pl.BlockSpec(
+            (tile, k, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def spec2(width):
+        return pl.BlockSpec(
+            (tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    def full_spec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    params = [
+        p["vmix_w"].astype(cdt),
+        p["mix_w1"].astype(cdt),
+        p["mix_b1"].reshape(1, -1).astype(jnp.float32),
+        p["mix_w2"].astype(cdt),
+        p["mix_b2"].reshape(1, -1).astype(jnp.float32),
+    ]
+    s_out, v_out = pl.pallas_call(
+        partial(_layer_kernel, h=h, dim=dim),
+        grid=(n_tiles,),
+        in_specs=[spec3(gw), spec3(3 * h), spec3(dim), spec2(h),
+                  spec2(dim * h)]
+        + [full_spec(q) for q in params],
+        out_specs=[spec2(h), spec2(dim * h)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n + n_pad, h), cdt),
+            jax.ShapeDtypeStruct((n + n_pad, dim * h), cdt),
+        ],
+        interpret=interpret,
+    )(g, wij, neg_dir, s, v_flat, *params)
+    if n_pad:
+        s_out = s_out[:n]
+        v_out = v_out[:n]
+    return s_out, v_out

@@ -96,6 +96,7 @@ if __name__ == "__main__":
     reference = {
         "gns_rpf3d": 30.5, "gns_rpf3d_fused": 30.5, "segnn_rpf3d": 154.3,
         "egnn_rpf2d": 60.8, "painn_rpf2d": 9.1,
+        "painn_rpf2d_fused": 9.1,
     }
     results["gns_rpf3d"] = bench_forward("gns", 8000, 3, 10, 128)
     print("gns done", results, flush=True)
@@ -107,6 +108,10 @@ if __name__ == "__main__":
     results["egnn_rpf2d"] = bench_forward("egnn", 3200, 2, 5, 128, True, n_iter=10)
     print("egnn done", results, flush=True)
     results["painn_rpf2d"] = bench_forward("painn", 3200, 2, 5, 128, True, n_iter=10)
+    print("painn done", results, flush=True)
+    results["painn_rpf2d_fused"] = bench_forward(
+        "painn", 3200, 2, 5, 128, True, n_iter=10, fused=True
+    )
     out = {
         k: {"ms": round(v, 2), "a6000_ms": reference[k],
             "speedup": round(reference[k] / v, 2)}

@@ -151,19 +151,16 @@ def build_structure(seed=0):
 
     n_tiles = n_rows // T
     nsub = T // SUB
-    w0 = np.zeros((n_tiles, 3), int)
-    soff = np.zeros((n_tiles, nsub, 3), int)
     yf_of_row = np.full(n_rows, -1, int)
     yf_of_row[row_of_sorted] = yf_s
     xs_of_tile = np.searchsorted(sstart, np.arange(n_tiles) * T, side="right") - 1
 
-    W = 0
     WSUB = 0
     spans = []
     sub_bins = np.zeros((n_tiles, nsub, 2), int)
+    subw = np.zeros((n_tiles, nsub, 3, 2), int)
     for t in range(n_tiles):
         s = xs_of_tile[t]
-        subw = np.zeros((nsub, 3, 2), int)
         for u in range(nsub):
             rows = yf_of_row[t * T + u * SUB : t * T + (u + 1) * SUB]
             rows = rows[rows >= 0]
@@ -177,30 +174,20 @@ def build_structure(seed=0):
                 a = ext_of_bin(s2, lo)
                 b = ext_of_bin(s2, hi) + fine_occ[s2, hi % YF]
                 a8 = a // 8 * 8
-                subw[u, j] = (a8, b)
+                subw[t, u, j] = (a8, b)
                 spans.append(b - a8)
-        for j in range(3):
-            a = subw[:, j, 0].min() // 8 * 8
-            b = subw[:, j, 1].max()
-            w0[t, j] = a
-            W = max(W, b - a)
-            for u in range(nsub):
-                soff[t, u, j] = subw[u, j, 0] - a
-                WSUB = max(WSUB, subw[u, j, 1] - subw[u, j, 0])
-    W = -(-W // 8) * 8
-    WSUB = -(-WSUB // 8) * 8
-    # keep every sub-slice inside the tile window: soff + WSUB <= W (valid
-    # candidates still fit — the window end bound guarantees it). Stored in
-    # 8-row units so the kernel's dynamic VMEM slice offset is provably
-    # 8-aligned (soff entries are already multiples of 8 by construction).
-    soff = np.minimum(soff, W - WSUB)
-    assert (soff % 8 == 0).all()
-    soff_enc = soff  # encoding uses row units
-    soff = soff // 8
-    print(f"n_rows={n_rows} n_ext={n_ext} tiles={n_tiles} W={W} WSUB={WSUB} "
+    WSUB = -(-max(b - a for a, b in subw.reshape(-1, 2)) // 8) * 8
+    # absolute 8-aligned window starts, clamped so the window stays inside
+    # the ext array; stored in 8-row units so the kernel's DMA offsets are
+    # provably 8-aligned
+    w0s = np.minimum(subw[..., 0], (n_ext - WSUB) // 8 * 8).astype(np.int32)
+    assert (w0s % 8 == 0).all()
+    w0s_rows = w0s.copy()
+    w0s = w0s // 8
+    print(f"n_rows={n_rows} n_ext={n_ext} tiles={n_tiles} WSUB={WSUB} "
           f"p99 sub-span={int(np.percentile(spans, 99))}")
 
-    # encode cand: sx*WSUB + (sender_ext - subw0_ext); fill = 3*WSUB.
+    # encode cand: sx*WSUB + (sender_ext - w0s[t,u,sx]); fill = 3*WSUB.
     # A sender reached across the y-wrap encodes at its GHOST image: pick
     # the periodic bin image that falls inside the sub-tile's bin window.
     cand = np.full((n_rows, K), 3 * WSUB, np.int32)
@@ -223,17 +210,16 @@ def build_structure(seed=0):
                     else:
                         raise AssertionError((t, u, r, k, yfs, lo, hi))
                     sext = ext_of_bin(sslab, v) + rank
-                    local = sext - (w0[t, sx] + soff_enc[t, u, sx])
+                    local = sext - w0s_rows[t, u, sx]
                     assert 0 <= local < WSUB, (
-                        srow, sext, w0[t, sx], soff[t, u, sx], WSUB
+                        srow, sext, w0s_rows[t, u, sx], WSUB
                     )
                     cand[r, k] = sx * WSUB + local
-    return (n_rows, n_ext, np.asarray(ext_idx), cand,
-            w0.astype(np.int32), soff.astype(np.int32), W, WSUB)
+    return (n_rows, n_ext, np.asarray(ext_idx), cand, w0s, w0s_rows, WSUB)
 
 
-def make_window_kernel(n_rows, W, WSUB, n_tiles, nsub):
-    def kernel(w0_ref, soff_ref, e_ref, cand_ref, mask_ref, hr_ref, h_ref,
+def make_window_kernel(n_rows, WSUB, n_tiles, nsub):
+    def kernel(w0s_ref, e_ref, cand_ref, mask_ref, hr_ref, h_ref,
                hs_hbm, *rest):
         p_refs = rest[:13]
         e_out_ref, h_out_ref = rest[13:15]
@@ -243,27 +229,22 @@ def make_window_kernel(n_rows, W, WSUB, n_tiles, nsub):
         f32 = jnp.float32
 
         cps = []
-        for sx in range(3):
-            cp = pltpu.make_async_copy(
-                hs_hbm.at[pl.ds(w0_ref[t, sx], W)],
-                scratch.at[pl.ds(sx * W, W)],
-                sem,
-            )
-            cp.start()
-            cps.append(cp)
+        for u in range(nsub):
+            for sx in range(3):
+                cp = pltpu.make_async_copy(
+                    hs_hbm.at[pl.ds(w0s_ref[t, u, sx] * 8, WSUB)],
+                    scratch.at[pl.ds((u * 3 + sx) * WSUB, WSUB)],
+                    sem,
+                )
+                cp.start()
+                cps.append(cp)
         for cp in cps:
             cp.wait()
 
         cand = cand_ref[...]  # (T*K, 1) int32 — pre-flattened outside
         hs_parts = []
         for u in range(nsub):
-            win = jnp.concatenate(
-                [
-                    scratch[pl.ds(sx * W + soff_ref[t, u, sx] * 8, WSUB)]
-                    for sx in range(3)
-                ],
-                axis=0,
-            )  # (3*WSUB, F)
+            win = scratch[u * 3 * WSUB : (u + 1) * 3 * WSUB]  # (3*WSUB, F)
             cu = cand[u * SUB * K : (u + 1) * SUB * K]  # (SUB*K, 1)
             sel = (
                 cu == jax.lax.broadcasted_iota(jnp.int32, (SUB * K, 3 * WSUB), 1)
@@ -284,7 +265,7 @@ def make_window_kernel(n_rows, W, WSUB, n_tiles, nsub):
 
 
 def main():
-    n_rows, n_ext, ext_idx, cand, w0, soff, W, WSUB = build_structure()
+    n_rows, n_ext, ext_idx, cand, w0s, w0s_rows, WSUB = build_structure()
     n_tiles = n_rows // T
     nsub = T // SUB
     rng = np.random.default_rng(1)
@@ -299,32 +280,31 @@ def main():
     params = fused_mp._row_params(p, fused_mp._MP_KERNEL_PARAMS, F, cdt)
     cand_j = jnp.asarray(cand).reshape(n_rows * K, 1)
     mask_j2 = jnp.asarray((cand < 3 * WSUB).astype(np.float32))
-    w0_j = jnp.asarray(w0)
-    soff_j = jnp.asarray(soff)
+    w0s_j = jnp.asarray(w0s)
 
-    kernel = make_window_kernel(n_rows, W, WSUB, n_tiles, nsub)
+    kernel = make_window_kernel(n_rows, WSUB, n_tiles, nsub)
 
-    tile3 = pl.BlockSpec((T, K, F), lambda t, a, b: (t, 0, 0),
+    tile3 = pl.BlockSpec((T, K, F), lambda t, a: (t, 0, 0),
                          memory_space=pltpu.VMEM)
-    tile2 = pl.BlockSpec((T, F), lambda t, a, b: (t, 0),
+    tile2 = pl.BlockSpec((T, F), lambda t, a: (t, 0),
                          memory_space=pltpu.VMEM)
-    candsp = pl.BlockSpec((T * K, 1), lambda t, a, b: (t, 0),
+    candsp = pl.BlockSpec((T * K, 1), lambda t, a: (t, 0),
                           memory_space=pltpu.VMEM)
-    masksp = pl.BlockSpec((T, K), lambda t, a, b: (t, 0),
+    masksp = pl.BlockSpec((T, K), lambda t, a: (t, 0),
                           memory_space=pltpu.VMEM)
 
     def full_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda t, a, b: (0,) * arr.ndim,
+        return pl.BlockSpec(arr.shape, lambda t, a: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[tile3, candsp, masksp, tile2, tile2,
                   pl.BlockSpec(memory_space=pltpu.ANY)]
         + [full_spec(q) for q in params],
         out_specs=[tile3, tile2],
-        scratch_shapes=[pltpu.VMEM((3 * W, F), cdt),
+        scratch_shapes=[pltpu.VMEM((nsub * 3 * WSUB, F), cdt),
                         pltpu.SemaphoreType.DMA],
     )
 
@@ -340,7 +320,7 @@ def main():
                     jax.ShapeDtypeStruct((n_rows, K, F), cdt),
                     jax.ShapeDtypeStruct((n_rows, F), cdt),
                 ],
-            )(w0_j, soff_j, e, cand_j, mask_j2, hr, h, hs_ext, *params)
+            )(w0s_j, e, cand_j, mask_j2, hr, h, hs_ext, *params)
             return (e2, h2), None
         (e, h), _ = jax.lax.scan(body, (e, h), None, length=10)
         return e, h
@@ -353,7 +333,7 @@ def main():
             c = cand[rows]
             valid = c < 3 * WSUB
             sx = np.clip(c // WSUB, 0, 2)
-            extrow = w0[t, sx] + soff[t, u][sx] * 8 + c % WSUB
+            extrow = w0s_rows[t, u][sx] + c % WSUB
             senders_abs[rows] = np.where(
                 valid, ext_idx[np.clip(extrow, 0, n_ext - 1)], n_rows
             )
@@ -389,7 +369,7 @@ def main():
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_rows, K, F), cdt),
                    jax.ShapeDtypeStruct((n_rows, F), cdt)],
-    )(w0_j, soff_j, e, cand_j, mask_j2, hr, h, hs[ext_idx_j], *params)
+    )(w0s_j, e, cand_j, mask_j2, hr, h, hs[ext_idx_j], *params)
     hs_g = hs[jnp.minimum(senders_j, n_rows - 1)] * mask_j[..., None].astype(cdt)
     e2, h2 = fused_mp.gns_mp_step_reference(e, hs_g, hr, h, mask_j, p)
     print("max |e| diff:", float(jnp.max(jnp.abs(e1.astype(jnp.float32) - e2.astype(jnp.float32)))))
