@@ -51,8 +51,10 @@ def make_case(n, dim, isl, magnitudes, name, mp, latent, compute_dtype):
     return case, metadata, cfg_model
 
 
-def bench_forward(name, n, dim, mp, latent, magnitudes=False, n_iter=20,
+def bench_forward(name, n, dim, mp, latent, magnitudes=False, n_iter=None,
                   fused=False):
+    if n_iter is None:
+        n_iter = int(os.environ.get("BENCH_N", "20"))
     isl = 6
     case, metadata, cfg_model = make_case(
         n, dim, isl, magnitudes, name, mp, latent,
@@ -105,12 +107,12 @@ if __name__ == "__main__":
     print("gns fused done", results, flush=True)
     results["segnn_rpf3d"] = bench_forward("segnn", 8000, 3, 10, 64)
     print("segnn done", results, flush=True)
-    results["egnn_rpf2d"] = bench_forward("egnn", 3200, 2, 5, 128, True, n_iter=10)
+    results["egnn_rpf2d"] = bench_forward("egnn", 3200, 2, 5, 128, True)
     print("egnn done", results, flush=True)
-    results["painn_rpf2d"] = bench_forward("painn", 3200, 2, 5, 128, True, n_iter=10)
+    results["painn_rpf2d"] = bench_forward("painn", 3200, 2, 5, 128, True)
     print("painn done", results, flush=True)
     results["painn_rpf2d_fused"] = bench_forward(
-        "painn", 3200, 2, 5, 128, True, n_iter=10, fused=True
+        "painn", 3200, 2, 5, 128, True, fused=True
     )
     out = {
         k: {"ms": round(v, 2), "a6000_ms": reference[k],

@@ -238,12 +238,13 @@ def make_window_kernel(n_rows, WSUB, n_tiles, nsub):
                 )
                 cp.start()
                 cps.append(cp)
-        for cp in cps:
-            cp.wait()
 
         cand = cand_ref[...]  # (T*K, 1) int32 — pre-flattened outside
         hs_parts = []
         for u in range(nsub):
+            # wait only this sub's windows: later DMAs overlap the matmuls
+            for cp in cps[u * 3 : (u + 1) * 3]:
+                cp.wait()
             win = scratch[u * 3 * WSUB : (u + 1) * 3 * WSUB]  # (3*WSUB, F)
             cu = cand[u * SUB * K : (u + 1) * SUB * K]  # (SUB*K, 1)
             sel = (
@@ -322,7 +323,7 @@ def main():
                 ],
             )(w0s_j, e, cand_j, mask_j2, hr, h, hs_ext, *params)
             return (e2, h2), None
-        (e, h), _ = jax.lax.scan(body, (e, h), None, length=10)
+        (e, h), _ = jax.lax.scan(body, (e, h), None, length=50)
         return e, h
 
     # production path: decode cand back to compact rows for the gather
@@ -344,20 +345,20 @@ def main():
     def gather_steps(e, h, hr, hs):
         def body(carry, _):
             e, h = carry
-            hs_g = hs[jnp.minimum(senders_j, n_rows - 1)] * mask_j[..., None].astype(cdt)
+            hs_g = hs[jnp.minimum(senders_j, n_rows - 1)]
             e2, h2 = fused_mp.gns_mp_step(e, hs_g, hr, h, mask_j, p)
             return (e2, h2), None
-        (e, h), _ = jax.lax.scan(body, (e, h), None, length=10)
+        (e, h), _ = jax.lax.scan(body, (e, h), None, length=50)
         return e, h
 
     def bench(fn, *args):
         out = fn(*args)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(5):
+        for _ in range(3):
             out = fn(*args)
         jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / 5 / 10 * 1e3  # ms per step
+        return (time.perf_counter() - t0) / 3 / 50 * 1e3  # ms per step
 
     t_win = bench(window_steps, e, h, hr, hs)
     t_gat = bench(gather_steps, e, h, hr, hs)

@@ -13,7 +13,7 @@ import numpy as np
 from __graft_entry__ import _grid_positions, _make_case_and_model
 
 
-def timeit(name, fn, n=20):
+def timeit(name, fn, n=int(os.environ.get("PROF_N", "20"))):
     @jax.jit
     def loop(salt0):
         def body(salt, _):
