@@ -21,7 +21,36 @@ __all__ = [
     "SEGNN",
     "make_model_fns",
     "setup_model",
+    "ensure_fused_params",
 ]
+
+
+def ensure_fused_params(params: Dict, cfg_model: Config) -> Dict:
+    """Re-layout a standard-parameterization tree for the fused processor.
+
+    Checkpoints trained with the standard processor (including imported
+    reference haiku checkpoints) use auto-named flax module trees; the
+    fused Pallas processors consume flat per-step arrays. When the config
+    requests the fused path and ``params`` is in the standard layout,
+    convert it (a pure rename/split — the math is identical); otherwise
+    return ``params`` unchanged.
+    """
+    if not cfg_model.get("fused_processor", False):
+        return params
+    name = cfg_model.name.lower()
+    if name == "gns" and not any(str(k).startswith("mp0_") for k in params):
+        from .gns import fused_params_from_standard
+
+        return fused_params_from_standard(
+            params, int(cfg_model.num_mp_steps)
+        )
+    if name == "painn" and "filt_w" not in params.get("PaiNNLayer_0", {}):
+        from .painn import painn_fused_params_from_standard
+
+        return painn_fused_params_from_standard(
+            params, int(cfg_model.num_mp_steps)
+        )
+    return params
 
 
 def setup_model(

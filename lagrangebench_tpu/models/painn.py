@@ -132,6 +132,47 @@ class PaiNNLayer(nn.Module):
         n = s.shape[0]
         h = self.hidden_size
 
+        if self.use_fused:
+            # -- fully fused layer: ``v`` is FLAT (N, dim*H) and ``Wij`` is
+            # the (N, K, R+1) radial basis with the per-edge scale (cosine
+            # cutoff x mask) in the last column; the filter matmul runs
+            # inside the kernel (20-wide basis reads instead of the 3H-wide
+            # materialized filter tensor). The gather packs [x1, x2, u]
+            # where u_d = v_d * x3 is pre-multiplied at node level —
+            # algebraically identical to gathering x3 and v separately
+            # (the per-edge product W3*x3[s]*v[s] associates freely) but
+            # (2+dim)H wide instead of (3+dim)H.
+            assert self.blocks == 2 and self.activation is nn.silu, (
+                "fused PaiNN layer supports blocks=2 with silu"
+            )
+            phi_ext = Wij
+            vdim = dir_ij.shape[-1]
+            r = phi_ext.shape[-1] - 1
+            x = self._context_net(s, "interaction")  # (N, 3H)
+            xav = nn.initializers.xavier_uniform()
+            zeros = nn.initializers.zeros_init()
+            p = {
+                "filt_w": self.param("filt_w", xav, (r, 3 * h)),
+                "filt_b": self.param("filt_b", zeros, (3 * h,)),
+                "vmix_w": self.param("vmix_w", xav, (h, 2 * h)),
+                "mix_w1": self.param("mix_w1", xav, (2 * h, h)),
+                "mix_b1": self.param("mix_b1", zeros, (h,)),
+                "mix_w2": self.param("mix_w2", xav, (h, 3 * h)),
+                "mix_b2": self.param("mix_b2", zeros, (3 * h,)),
+            }
+            x3 = x[..., 2 * h:]
+            packed = jnp.concatenate(
+                [x[..., :h], x[..., h: 2 * h]]
+                + [v[..., d * h:(d + 1) * h] * x3 for d in range(vdim)],
+                axis=-1,
+            )
+            g = packed[senders]  # (N, K, (2+dim)H); padded slots masked
+            from ..ops import painn_msg
+
+            return painn_msg.painn_layer(
+                g, phi_ext, -dir_ij.astype(x.dtype), s, v, p
+            )
+
         x = self._context_net(s, "interaction")  # (N, 3H)
 
         if senders.ndim == 2:
@@ -154,28 +195,6 @@ class PaiNNLayer(nn.Module):
             # form needs receiver -> sender, hence the minus.
             mask = (senders < n)[..., None].astype(Wij.dtype)
             from ..ops import painn_msg
-
-            if self.use_fused:
-                assert self.blocks == 2 and self.activation is nn.silu, (
-                    "fused PaiNN layer supports blocks=2 with silu"
-                )
-                xav = nn.initializers.xavier_uniform()
-                p = {
-                    "vmix_w": self.param("vmix_w", xav, (h, 2 * h)),
-                    "mix_w1": self.param("mix_w1", xav, (2 * h, h)),
-                    "mix_b1": self.param(
-                        "mix_b1", nn.initializers.zeros_init(), (h,)
-                    ),
-                    "mix_w2": self.param("mix_w2", xav, (h, 3 * h)),
-                    "mix_b2": self.param(
-                        "mix_b2", nn.initializers.zeros_init(), (3 * h,)
-                    ),
-                }
-                s_out, v_out_flat = painn_msg.painn_layer(
-                    g, Wij * mask, -dir_ij.astype(Wij.dtype),
-                    s, v.reshape(n, vdim * h), p,
-                )
-                return s_out, v_out_flat.reshape(n, vdim, h)
 
             ds, dv_flat = painn_msg.painn_message(
                 g, Wij * mask, -dir_ij.astype(Wij.dtype), h
@@ -266,25 +285,50 @@ class PaiNN(BaseModel):
         # (E, num_mp_steps * 3H) tensor up front (same parameters — the
         # per-layer weights are slices of the reference's single filter_net)
         cut = cosine_cutoff(self.radius)(norm_ij)[..., None]
-        if self.shared_filters:
-            shared = LinearXav(3 * self.hidden_size, name="filter_net", dtype=cdt)(phi) * cut.astype(cdt)
-            filter_list = [shared] * self.num_mp_steps
+
+        if self.use_fused_layer:
+            # fused layers: filters are computed in-kernel from the raw
+            # basis; phi ships once with the per-edge scale (cutoff x
+            # padding mask) in its last column, and the vector state stays
+            # FLAT (N, dim*H) across layers (no per-layer reshapes)
+            assert senders.ndim == 2, "fused PaiNN needs the dense layout"
+            assert not self.shared_filters, (
+                "fused PaiNN layers declare per-layer filters"
+            )
+            mask = (senders < n).astype(cdt)
+            phi_ext = jnp.concatenate(
+                [phi, (cut.astype(cdt) * mask[..., None])], axis=-1
+            )
+            s = LinearXav(self.hidden_size, dtype=cdt)(s0)
+            v = LinearXav(self.hidden_size, use_bias=False, dtype=cdt)(v0)
+            v_flat = v.reshape(n, -1)
+            dir_c = dir_ij.astype(cdt)
+            for i in range(self.num_mp_steps):
+                s, v_flat = PaiNNLayer(
+                    hidden_size=self.hidden_size,
+                    activation=self.activation, dtype=cdt, use_fused=True,
+                )(s, v_flat, dir_c, phi_ext, senders, receivers)
+            v = v_flat.reshape(n, -1, self.hidden_size)
         else:
-            filter_list = [
-                LinearXav(3 * self.hidden_size, name=f"filter_net_{i}", dtype=cdt)(phi)
-                * cut.astype(cdt)
-                for i in range(self.num_mp_steps)
-            ]
+            if self.shared_filters:
+                shared = LinearXav(3 * self.hidden_size, name="filter_net", dtype=cdt)(phi) * cut.astype(cdt)
+                filter_list = [shared] * self.num_mp_steps
+            else:
+                filter_list = [
+                    LinearXav(3 * self.hidden_size, name=f"filter_net_{i}", dtype=cdt)(phi)
+                    * cut.astype(cdt)
+                    for i in range(self.num_mp_steps)
+                ]
 
-        # embeddings
-        s = LinearXav(self.hidden_size, dtype=cdt)(s0)  # (N, H)
-        v = LinearXav(self.hidden_size, use_bias=False, dtype=cdt)(v0)  # (N, dim, H)
+            # embeddings
+            s = LinearXav(self.hidden_size, dtype=cdt)(s0)  # (N, H)
+            v = LinearXav(self.hidden_size, use_bias=False, dtype=cdt)(v0)  # (N, dim, H)
 
-        for i in range(self.num_mp_steps):
-            s, v = PaiNNLayer(
-                hidden_size=self.hidden_size, activation=self.activation,
-                dtype=cdt, use_fused=self.use_fused_layer,
-            )(s, v, dir_ij.astype(cdt), filter_list[i], senders, receivers)
+            for i in range(self.num_mp_steps):
+                s, v = PaiNNLayer(
+                    hidden_size=self.hidden_size, activation=self.activation,
+                    dtype=cdt, use_fused=False,
+                )(s, v, dir_ij.astype(cdt), filter_list[i], senders, receivers)
 
         # gated readout, halving widths per block
         width = self.hidden_size // 2
@@ -327,19 +371,27 @@ def build_painn(cfg_model, metadata):
 def painn_fused_params_from_standard(params, num_mp_steps: int):
     """Re-layout standard PaiNN parameters for the fused-layer variant.
 
-    Pure rename/split: the per-layer vector-mix (LinearXav_2) and mixing
-    context net (LinearXav_3/4) become the flat arrays the fused kernel
-    consumes; everything else (embeddings, filters, interaction net,
-    readout) is unchanged.
+    Pure rename/split: each layer's filter net (model-level
+    ``filter_net_{i}``), vector-mix (LinearXav_2) and mixing context net
+    (LinearXav_3/4) become the flat per-layer arrays the fused kernel
+    consumes; everything else (embeddings, RBF, interaction net, readout)
+    is unchanged.
     """
-    out = {k: v for k, v in params.items() if not k.startswith("PaiNNLayer")}
+    out = {
+        k: v
+        for k, v in params.items()
+        if not k.startswith(("PaiNNLayer", "filter_net"))
+    }
     for i in range(num_mp_steps):
         lyr = dict(params[f"PaiNNLayer_{i}"])
+        filt = params[f"filter_net_{i}"]["Dense_0"]
         vmix = lyr.pop("LinearXav_2")["Dense_0"]
         m1 = lyr.pop("LinearXav_3")["Dense_0"]
         m2 = lyr.pop("LinearXav_4")["Dense_0"]
         lyr.update(
             {
+                "filt_w": filt["kernel"],
+                "filt_b": filt["bias"],
                 "vmix_w": vmix["kernel"],
                 "mix_w1": m1["kernel"],
                 "mix_b1": m1["bias"],

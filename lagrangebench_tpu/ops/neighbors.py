@@ -507,7 +507,9 @@ def neighbor_list(
     # reference's space selection (periodic if ANY dim is periodic)
     periodic_all = any(pbc)
 
-    def _count_and_caps(position, num_particles) -> Tuple[int, int, object, str]:
+    def _count_and_caps(
+        position, num_particles, capacity_boost: float = 1.0
+    ) -> Tuple[int, int, object, str]:
         """Host-side exact edge count and cell capacity for this sample.
 
         Host-only (no device ops): on remote-compiled TPU backends every
@@ -521,6 +523,11 @@ def neighbor_list(
         back.
         """
         eff_backend = backend
+        # escalation retries raise the effective multiplier BEFORE the
+        # pallas VMEM-admissibility search, so a boost that no longer fits
+        # the kernel budget falls back to celllist instead of asserting in
+        # the kernel factory
+        mult = capacity_multiplier * capacity_boost
         pos = np.asarray(position, dtype=np.float64)
         n = pos.shape[0]
         npart = n if num_particles is None else int(num_particles)
@@ -566,7 +573,7 @@ def neighbor_list(
                         n_bins *= nc
                     occ = np.bincount(cid, minlength=n_bins)
                     max_occ = int(occ.max()) if occ.size else 1
-                    cap = max(_round_up(max_occ * capacity_multiplier, 8), 8)
+                    cap = max(_round_up(max_occ * mult, 8), 8)
                     # the scan kernel's VMEM footprint (see
                     # neighbors_pallas: (C, CW) temporaries + the (CW, CW)
                     # pair triangle) must fit the budget — column occupancy
@@ -593,7 +600,7 @@ def neighbor_list(
                     occ = np.bincount(cid, minlength=grid.num_cells)
                     max_occ = int(occ.max()) if occ.size else 1
                     cell_cap = max(
-                        _round_up(max_occ * capacity_multiplier, 4), 4
+                        _round_up(max_occ * mult, 4), 4
                     )
                 else:
                     _, ncs, cell_cap = best
@@ -613,7 +620,7 @@ def neighbor_list(
                     cid = cid * grid.cells_per_side[d] + coords[:, d]
                 occ = np.bincount(cid, minlength=grid.num_cells)
                 max_occ = int(occ.max()) if occ.size else 1
-                cell_cap = max(_round_up(max_occ * capacity_multiplier, 4), 4)
+                cell_cap = max(_round_up(max_occ * mult, 4), 4)
         else:
             cell_cap = 0
 
@@ -644,7 +651,7 @@ def neighbor_list(
                 count += int(within.sum())
                 if format in ("dense", "slot") and within.size:
                     max_k = max(max_k, int(within.sum(axis=1).max()))
-        e_cap = max(_round_up(max(count, 1) * capacity_multiplier, 128), 128)
+        e_cap = max(_round_up(max(count, 1) * mult, 128), 128)
         if format in ("dense", "slot"):
             # pallas (the fused-processor pairing): multiple of 8 keeps the
             # K axis sublane-aligned — the fused MP kernels reshape
@@ -655,7 +662,7 @@ def neighbor_list(
             # rounding.
             k_align = 8 if eff_backend == "pallas" else 4
             k_cap = max(
-                _round_up(max(max_k, 1) * capacity_multiplier, k_align),
+                _round_up(max(max_k, 1) * mult, k_align),
                 k_align,
             )
             return k_cap, cell_cap, col_grid, eff_backend
@@ -794,15 +801,8 @@ def neighbor_list(
         used by rollout retry loops to escalate after an overflow.
         """
         e_cap, cell_cap, col_grid, eff_backend = _count_and_caps(
-            position, num_particles
+            position, num_particles, capacity_boost
         )
-        if capacity_boost != 1.0:
-            if format in ("dense", "slot"):
-                align = 8 if eff_backend == "pallas" else 4
-            else:
-                align = 128
-            e_cap = _round_up(e_cap * capacity_boost, align)
-            cell_cap = _round_up(cell_cap * capacity_boost, 4) if cell_cap else 0
         update = _make_update(e_cap, cell_cap, col_grid, eff_backend)
         n = position.shape[0]
         aux = None

@@ -164,26 +164,60 @@ def _painn_message_pallas(g, wij, neg_dir, h, interpret):
 # flat arrays (the model's fused variant declares them raw; convert a
 # standard tree with models.painn.painn_fused_params_from_standard).
 
-LAYER_PARAM_NAMES = ("vmix_w", "mix_w1", "mix_b1", "mix_w2", "mix_b2")
+LAYER_PARAM_NAMES = ("filt_w", "filt_b", "vmix_w", "mix_w1", "mix_b1",
+                     "mix_w2", "mix_b2")
 
 
-def painn_layer_reference(g, wij, neg_dir, s, v_flat, p, eps: float = 1e-8):
-    """Pure-jax mirror of the fused layer; v_flat is (N, dim*H)."""
+def painn_layer_reference(g, phi, neg_dir, s, v_flat, p, eps: float = 1e-8):
+    """Pure-jax mirror of the fused layer.
+
+    Arguments (dense edge layout; R radial-basis channels):
+        g: (N, K, (2 + dim) * H) packed sender gather [x1, x2, u] where
+            x1/x2 are the first two thirds of the interaction context and
+            u_d = v_d * x3 is the third pre-multiplied into the vector
+            state at NODE level (narrower gather than shipping x3 and v
+            separately).
+        phi: (N, K, R + 1) — raw radial-basis values with the per-edge
+            scale (cosine cutoff x padding mask) in the LAST column. The
+            filter matmul W_ij = (phi @ filt_w + filt_b) * scale runs
+            inside the kernel: 20-wide basis reads replace the 3H-wide
+            materialized filter tensor (reference painn.py:231-243 builds
+            the full (E, 3H) filters in XLA).
+        neg_dir: (N, K, dim) receiver->sender direction.
+        s, v_flat: (N, H), (N, dim*H) node state.
+        p: LAYER_PARAM_NAMES flat dict.
+    """
     f32 = jnp.float32
     h = s.shape[-1]
     dim = neg_dir.shape[-1]
     cdt = s.dtype
-    ds, dv = painn_message_reference(g, wij, neg_dir, h)
-    s1 = (s.astype(f32) + jnp.clip(ds, -1e2, 1e2)).astype(cdt)
-    v1 = (v_flat.astype(f32) + jnp.clip(dv, -1e2, 1e2)).astype(cdt)
-
+    r = phi.shape[-1] - 1
     prec = _mirror_precision(cdt)
-    vls, vrs = [], []
+
+    wij = jnp.dot(phi[..., :r].astype(cdt), p["filt_w"].astype(cdt),
+                  preferred_element_type=f32, precision=prec)
+    wij = (wij + p["filt_b"].astype(f32)) * phi[..., r:].astype(f32)
+
+    ds = jnp.sum(wij[..., :h] * g[..., :h].astype(f32), axis=1)
+    msg1 = wij[..., h: 2 * h] * g[..., h: 2 * h].astype(f32)
+    w3 = wij[..., 2 * h:]
+    s1 = (s.astype(f32) + jnp.clip(ds, -1e2, 1e2)).astype(cdt)
+
+    vls, vrs, v1s = [], [], []
     for d in range(dim):
-        vm = jnp.dot(v1[..., d * h:(d + 1) * h], p["vmix_w"].astype(cdt),
+        u_d = g[..., (2 + d) * h: (3 + d) * h].astype(f32)
+        nd = neg_dir[..., d: d + 1].astype(f32)
+        dv_d = jnp.sum(nd * msg1 + w3 * u_d, axis=1)
+        v1_d = (
+            v_flat[..., d * h:(d + 1) * h].astype(f32)
+            + jnp.clip(dv_d, -1e2, 1e2)
+        ).astype(cdt)
+        v1s.append(v1_d)
+        vm = jnp.dot(v1_d, p["vmix_w"].astype(cdt),
                      preferred_element_type=f32, precision=prec)
         vls.append(vm[..., :h])
         vrs.append(vm[..., h:])
+
     v_norm = jnp.sqrt(sum(vr * vr for vr in vrs) + eps)
     ts = jnp.concatenate([s1.astype(f32), v_norm], axis=-1).astype(cdt)
     z = jnp.dot(ts, p["mix_w1"].astype(cdt), preferred_element_type=f32,
@@ -199,7 +233,7 @@ def painn_layer_reference(g, wij, neg_dir, s, v_flat, p, eps: float = 1e-8):
     s_out = (s1.astype(f32) + jnp.clip(ds2 + dsv, -1e2, 1e2)).astype(cdt)
     v_out = jnp.concatenate(
         [
-            (v1[..., d * h:(d + 1) * h].astype(f32)
+            (v1s[d].astype(f32)
              + jnp.clip(vls[d] * dv2, -1e2, 1e2)).astype(cdt)
             for d in range(dim)
         ],
@@ -208,25 +242,31 @@ def painn_layer_reference(g, wij, neg_dir, s, v_flat, p, eps: float = 1e-8):
     return s_out, v_out
 
 
-def _layer_kernel(g_ref, wij_ref, nd_ref, s_ref, v_ref,
-                  vmix_ref, mw1_ref, mb1_ref, mw2_ref, mb2_ref,
-                  s_out_ref, v_out_ref, *, h: int, dim: int,
-                  eps: float = 1e-8):
+def _layer_kernel(g_ref, phi_ref, nd_ref, s_ref, v_ref,
+                  fw_ref, fb_ref, vmix_ref, mw1_ref, mb1_ref, mw2_ref,
+                  mb2_ref, s_out_ref, v_out_ref, *, h: int, dim: int,
+                  r: int, eps: float = 1e-8):
     f32 = jnp.float32
     cdt = s_ref.dtype
-    # ---- edge message + aggregation (as _msg_kernel)
-    msg = wij_ref[...].astype(f32) * g_ref[..., : 3 * h].astype(f32)
-    ds = jnp.sum(msg[..., :h], axis=1)
-    msg1 = msg[..., h: 2 * h]
-    msg2 = msg[..., 2 * h: 3 * h]
+    t, k, _ = phi_ref.shape
+
+    # ---- in-VMEM filters from the radial basis
+    phi = phi_ref[..., :r].reshape(t * k, r).astype(cdt)
+    scale = phi_ref[..., r:r + 1].astype(f32)  # (t, k, 1)
+    wij = jnp.dot(phi, fw_ref[...], preferred_element_type=f32)
+    wij = (wij + fb_ref[...].astype(f32)).reshape(t, k, 3 * h) * scale
+
+    # ---- edge message + aggregation
+    ds = jnp.sum(wij[..., :h] * g_ref[..., :h].astype(f32), axis=1)
+    msg1 = wij[..., h: 2 * h] * g_ref[..., h: 2 * h].astype(f32)
+    w3 = wij[..., 2 * h:]
     s1 = (s_ref[...].astype(f32) + jnp.clip(ds, -1e2, 1e2)).astype(cdt)
 
-    vls, vrs = [], []
-    v1s = []
+    vls, vrs, v1s = [], [], []
     for d in range(dim):
-        vg = g_ref[..., (3 + d) * h: (4 + d) * h].astype(f32)
+        u_d = g_ref[..., (2 + d) * h: (3 + d) * h].astype(f32)
         nd = nd_ref[..., d: d + 1].astype(f32)
-        dv_d = jnp.sum(nd * msg1 + vg * msg2, axis=1)
+        dv_d = jnp.sum(nd * msg1 + w3 * u_d, axis=1)
         v1_d = (
             v_ref[..., d * h:(d + 1) * h].astype(f32)
             + jnp.clip(dv_d, -1e2, 1e2)
@@ -255,34 +295,34 @@ def _layer_kernel(g_ref, wij_ref, nd_ref, s_ref, v_ref,
         ).astype(cdt)
 
 
-def painn_layer(g, wij, neg_dir, s, v_flat, p,
+def painn_layer(g, phi, neg_dir, s, v_flat, p,
                 interpret: Optional[bool] = None):
-    """Run one fused PaiNN layer step (differentiable; backward through
-    the mirror)."""
+    """Run one fused PaiNN layer (differentiable; backward through the
+    mirror). See :func:`painn_layer_reference` for the argument contract."""
     if interpret is None:
         if jax.default_backend() != "tpu":
-            return painn_layer_reference(g, wij, neg_dir, s, v_flat, p)
+            return painn_layer_reference(g, phi, neg_dir, s, v_flat, p)
         interpret = False
-    return _painn_layer_vjp(g, wij, neg_dir, s, v_flat, p, interpret)
+    return _painn_layer_vjp(g, phi, neg_dir, s, v_flat, p, interpret)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _painn_layer_vjp(g, wij, neg_dir, s, v_flat, p, interpret):
-    return _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret)
+def _painn_layer_vjp(g, phi, neg_dir, s, v_flat, p, interpret):
+    return _painn_layer_pallas(g, phi, neg_dir, s, v_flat, p, interpret)
 
 
-def _painn_layer_vjp_fwd(g, wij, neg_dir, s, v_flat, p, interpret):
-    out = _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret)
-    return out, (g, wij, neg_dir, s, v_flat, p)
+def _painn_layer_vjp_fwd(g, phi, neg_dir, s, v_flat, p, interpret):
+    out = _painn_layer_pallas(g, phi, neg_dir, s, v_flat, p, interpret)
+    return out, (g, phi, neg_dir, s, v_flat, p)
 
 
 def _painn_layer_vjp_bwd(interpret, residuals, cotangents):
-    g, wij, neg_dir, s, v_flat, p = residuals
+    g, phi, neg_dir, s, v_flat, p = residuals
     _, vjp = jax.vjp(
-        lambda g_, w_, n_, s_, v_, p_: painn_layer_reference(
-            g_, w_, n_, s_, v_, p_
+        lambda g_, ph_, n_, s_, v_, p_: painn_layer_reference(
+            g_, ph_, n_, s_, v_, p_
         ),
-        g, wij, neg_dir, s, v_flat, p,
+        g, phi, neg_dir, s, v_flat, p,
     )
     return vjp(cotangents)
 
@@ -290,10 +330,11 @@ def _painn_layer_vjp_bwd(interpret, residuals, cotangents):
 _painn_layer_vjp.defvjp(_painn_layer_vjp_fwd, _painn_layer_vjp_bwd)
 
 
-def _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret):
+def _painn_layer_pallas(g, phi, neg_dir, s, v_flat, p, interpret):
     n, k, gw = g.shape
     h = s.shape[-1]
     dim = neg_dir.shape[-1]
+    r = phi.shape[-1] - 1
     cdt = s.dtype
     tile = _pick_tile(n, k * max(1, gw // 256), 128, row_budget=2400)
     n_pad = -n % tile
@@ -301,7 +342,7 @@ def _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret):
         pad3 = ((0, n_pad), (0, 0), (0, 0))
         pad2 = ((0, n_pad), (0, 0))
         g = jnp.pad(g, pad3)
-        wij = jnp.pad(wij, pad3)
+        phi = jnp.pad(phi, pad3)
         neg_dir = jnp.pad(neg_dir, pad3)
         s = jnp.pad(s, pad2)
         v_flat = jnp.pad(v_flat, pad2)
@@ -323,6 +364,8 @@ def _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret):
         )
 
     params = [
+        p["filt_w"].astype(cdt),
+        p["filt_b"].reshape(1, -1).astype(jnp.float32),
         p["vmix_w"].astype(cdt),
         p["mix_w1"].astype(cdt),
         p["mix_b1"].reshape(1, -1).astype(jnp.float32),
@@ -330,9 +373,9 @@ def _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret):
         p["mix_b2"].reshape(1, -1).astype(jnp.float32),
     ]
     s_out, v_out = pl.pallas_call(
-        partial(_layer_kernel, h=h, dim=dim),
+        partial(_layer_kernel, h=h, dim=dim, r=r),
         grid=(n_tiles,),
-        in_specs=[spec3(gw), spec3(3 * h), spec3(dim), spec2(h),
+        in_specs=[spec3(gw), spec3(r + 1), spec3(dim), spec2(h),
                   spec2(dim * h)]
         + [full_spec(q) for q in params],
         out_specs=[spec2(h), spec2(dim * h)],
@@ -341,7 +384,7 @@ def _painn_layer_pallas(g, wij, neg_dir, s, v_flat, p, interpret):
             jax.ShapeDtypeStruct((n + n_pad, dim * h), cdt),
         ],
         interpret=interpret,
-    )(g, wij, neg_dir, s, v_flat, *params)
+    )(g, phi, neg_dir, s, v_flat, *params)
     if n_pad:
         s_out = s_out[:n]
         v_out = v_out[:n]

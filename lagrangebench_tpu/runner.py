@@ -21,7 +21,7 @@ from .config import Config, save_yaml
 from .data import H5Dataset
 from .defaults import check_cfg
 from .evaluate import averaged_metrics, infer
-from .models import setup_model
+from .models import ensure_fused_params, setup_model
 from .parallel import make_mesh
 from .train import Trainer
 from .utils import get_num_params
@@ -150,6 +150,9 @@ def train_or_infer(cfg: Config):
                 )
             else:
                 params, state, _, _ = load_checkpoint(load_dir)
+            # standard-layout checkpoints (imported or trained with the
+            # standard processor) re-layout for the fused fast path
+            params = ensure_fused_params(params, cfg.model)
 
         n_spatial = int(cfg.parallel.get("spatial", 0) or 0)
         if n_spatial > 1:

@@ -218,3 +218,34 @@ def test_pallas_vmem_fallback_to_celllist():
         sa = set(a[row][a[row] < n])
         sb = set(b[row][b[row] < n])
         assert sa == sb, f"row {row} differs"
+
+
+def test_pallas_boost_beyond_vmem_falls_back():
+    """Escalation retries can push the boosted column capacity past the
+    pallas kernel's VMEM budget: the allocation must fall back to celllist
+    for that retry (it used to assert inside the kernel factory — hit by
+    long rollouts whose overflow retry escalates capacity_boost)."""
+    import warnings as _w
+
+    rng = np.random.default_rng(1)
+    n, dim = 512, 3
+    box = [1.0, 1.0, 1.0]
+    cutoff = 0.25
+    pos = jnp.asarray(rng.uniform(0, 1, (n, dim)), jnp.float32)
+    disp, _ = periodic(jnp.asarray(box))
+    fns = neighbor_list(disp, box, cutoff, backend="pallas",
+                        capacity_multiplier=1.25, format="dense",
+                        pbc=[True] * dim)
+
+    # admissible at boost 1 (pallas), inadmissible at a huge boost
+    base = fns.allocate_shell(np.asarray(pos))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        boosted = fns.allocate_shell(np.asarray(pos), capacity_boost=8.0)
+        assert any("VMEM budget" in str(r.message) for r in rec)
+
+    # the boosted (celllist) list still produces the right edge set
+    got = boosted.update(pos)
+    ref = base.update(pos)
+    assert not bool(got.did_buffer_overflow)
+    assert dense_edge_set(got, n) == dense_edge_set(ref, n)

@@ -36,21 +36,33 @@ def dense_sample(seed=0):
 
 def test_fused_layer_kernel_matches_mirror():
     rng = np.random.default_rng(1)
-    gw = 3 * H + DIM * H
+    r = 5
+    gw = (2 + DIM) * H
     g = jnp.asarray(rng.normal(size=(N, K, gw)), jnp.float32)
-    wij = jnp.asarray(rng.normal(size=(N, K, 3 * H)), jnp.float32)
+    phi = jnp.asarray(
+        np.concatenate(
+            [
+                rng.normal(size=(N, K, r)),
+                rng.uniform(size=(N, K, 1)),  # scale column in [0, 1]
+            ],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
     nd = jnp.asarray(rng.normal(size=(N, K, DIM)), jnp.float32)
     s = jnp.asarray(rng.normal(size=(N, H)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(N, DIM * H)), jnp.float32)
     p = {
+        "filt_w": jnp.asarray(rng.normal(size=(r, 3 * H)) * 0.1, jnp.float32),
+        "filt_b": jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.float32),
         "vmix_w": jnp.asarray(rng.normal(size=(H, 2 * H)) * 0.1, jnp.float32),
         "mix_w1": jnp.asarray(rng.normal(size=(2 * H, H)) * 0.1, jnp.float32),
         "mix_b1": jnp.asarray(rng.normal(size=(H,)) * 0.1, jnp.float32),
         "mix_w2": jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.1, jnp.float32),
         "mix_b2": jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.float32),
     }
-    s_ref, v_ref = painn_msg.painn_layer_reference(g, wij, nd, s, v, p)
-    s_k, v_k = painn_msg._painn_layer_pallas(g, wij, nd, s, v, p,
+    s_ref, v_ref = painn_msg.painn_layer_reference(g, phi, nd, s, v, p)
+    s_k, v_k = painn_msg._painn_layer_pallas(g, phi, nd, s, v, p,
                                              interpret=True)
     np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref), atol=2e-5)

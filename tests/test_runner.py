@@ -107,3 +107,57 @@ def test_train_and_infer_fused_processor(tmp_path, monkeypatch):
     metrics = cli.main([f"config={cfg_yaml}"])
     assert "val/loss" in metrics
     assert metrics["val/loss"] >= 0.0
+
+
+def test_standard_checkpoint_infers_with_fused_processor(tmp_path, monkeypatch):
+    """Cross-layout load: a checkpoint trained with the STANDARD processor
+    infers under a fused_processor config (runner auto-converts the tree
+    via models.ensure_fused_params — the shipped GNS presets enable the
+    fused path, and imported reference checkpoints are standard-layout)."""
+    dataset_path = make_dataset(str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+
+    base = (
+        "extends: LAGRANGEBENCH_DEFAULTS\n"
+        f"dataset:\n  src: {dataset_path}\n"
+        "model:\n"
+        "  name: gns\n"
+        "  fused_processor: {fused}\n"
+        "  input_seq_length: 3\n"
+        "  num_mp_steps: 2\n"
+        "  latent_dim: 8\n"
+        "train:\n"
+        "  batch_size: 2\n"
+        "  step_max: 2\n"
+        "  pushforward:\n"
+        "    steps: [-1]\n"
+        "    unrolls: [0]\n"
+        "    probs: [1]\n"
+        "eval:\n"
+        "  n_rollout_steps: 3\n"
+        "  train:\n"
+        "    n_trajs: 1\n"
+        "  infer:\n"
+        "    n_trajs: 1\n"
+        "    batch_size: 1\n"
+        "    metrics: [mse]\n"
+        "    out_type: none\n"
+        "logging:\n"
+        "  log_steps: 2\n"
+        "  eval_steps: 2\n"
+        "neighbors:\n"
+        "  backend: celllist\n"
+    )
+    cfg_std = tmp_path / "std.yaml"
+    cfg_std.write_text("mode: train\n" + base.format(fused="false"))
+
+    import main as cli
+
+    cli.main([f"config={cfg_std}"])
+    ckp_root = tmp_path / "ckp"
+    run_dir = ckp_root / os.listdir(ckp_root)[0]
+
+    cfg_fused = tmp_path / "fused.yaml"
+    cfg_fused.write_text("mode: infer\n" + base.format(fused="true"))
+    metrics = cli.main([f"config={cfg_fused}", f"load_ckp={run_dir}"])
+    assert "val/loss" in metrics and metrics["val/loss"] >= 0.0
