@@ -20,7 +20,7 @@ def run_bench(
     n_particles: int = 8000,
     dim: int = 3,
     isl: int = 6,
-    n_steps: int = 50,
+    n_steps: int = None,
     n_warmup: int = 2,
     backend: str = "pallas",
     nl_format: str = "dense",
@@ -35,7 +35,19 @@ def run_bench(
     ``nl_multiplier`` sizes the per-row edge capacity from the observed
     max row count. 1.25 is needed at this density: the max neighbor count
     rises from 19 to 21+ as the rollout evolves (tighter caps trip the
-    escalation retry and land on LARGER buffers)."""
+    escalation retry and land on LARGER buffers).
+
+    ``n_steps`` (env ``BENCH_STEPS``, default 200) is the scan length of
+    ONE rollout call. On remote-attached runtimes each dispatched call
+    chain pays one host<->device round trip (~28 ms measured on the axon
+    tunnel — scripts/experiments/rtt_probe.py); the reported
+    ms/rollout-step amortizes it over ``n_repeats * n_steps`` steps, so
+    short horizons overstate the per-step cost (50 steps x 3 repeats
+    folded ~0.19 ms/step of pure network RTT into round-2 numbers)."""
+    import os as _os
+
+    if n_steps is None:
+        n_steps = int(_os.environ.get("BENCH_STEPS", "200"))
     import jax as _jax
 
     if backend == "pallas" and _jax.default_backend() != "tpu":

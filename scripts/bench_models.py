@@ -54,7 +54,11 @@ def make_case(n, dim, isl, magnitudes, name, mp, latent, compute_dtype):
 def bench_forward(name, n, dim, mp, latent, magnitudes=False, n_iter=None,
                   fused=False):
     if n_iter is None:
-        n_iter = int(os.environ.get("BENCH_N", "20"))
+        # one blocking dispatch chain pays ~28 ms of tunnel RTT on the
+        # remote-attached runtime (scripts/experiments/rtt_probe.py);
+        # amortize it over enough scan iterations that fast models are
+        # not overstated (20 iters adds 1.4 ms/fwd — 75% on fused PaiNN)
+        n_iter = int(os.environ.get("BENCH_N", "200"))
     isl = 6
     case, metadata, cfg_model = make_case(
         n, dim, isl, magnitudes, name, mp, latent,

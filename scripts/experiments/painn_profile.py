@@ -53,12 +53,16 @@ def main():
     w_filt = jnp.asarray(rng.normal(size=(RBF, 3 * H)) * 0.05, cdt)
     mask = jnp.asarray(rng.uniform(size=(N, K)) > 0.2, cdt)
     p = {
+        "filt_w": jnp.asarray(rng.normal(size=(RBF, 3 * H)) * 0.05, cdt),
+        "filt_b": jnp.zeros((3 * H,), cdt),
         "vmix_w": jnp.asarray(rng.normal(size=(H, 2 * H)) * 0.05, cdt),
         "mix_w1": jnp.asarray(rng.normal(size=(2 * H, H)) * 0.05, cdt),
         "mix_b1": jnp.zeros((H,), cdt),
         "mix_w2": jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.05, cdt),
         "mix_b2": jnp.zeros((3 * H,), cdt),
     }
+    # (N, K, RBF+1) raw basis with the per-edge scale in the last column
+    phi_ext = jnp.concatenate([phi, mask[..., None]], axis=-1)
 
     # -- stage ablations (single instance; the model runs LAYERS of each)
     def ctx(salt):
@@ -87,19 +91,22 @@ def main():
 
     timeit("filter mm+mask (x1)", filt)
 
-    g = jnp.asarray(rng.normal(size=(N, K, 3 * H + DIM * H)), cdt)
+    g = jnp.asarray(rng.normal(size=(N, K, (2 + DIM) * H)), cdt)
 
     def layer_kernel(salt):
         s_out, v_out = painn_msg.painn_layer(
-            g, wij + salt.astype(cdt), -dir_ij, s, v.reshape(N, DIM * H), p
+            g, phi_ext + salt.astype(cdt), -dir_ij, s,
+            v.reshape(N, DIM * H), p
         )
         return s_out
 
     timeit("fused layer kernel (x1)", layer_kernel)
 
+    g3 = jnp.asarray(rng.normal(size=(N, K, 3 * H + DIM * H)), cdt)
+
     def msg_kernel(salt):
         ds, dv = painn_msg.painn_message(
-            g, wij + salt.astype(cdt), -dir_ij, H
+            g3, wij + salt.astype(cdt), -dir_ij, H
         )
         return ds
 
@@ -107,16 +114,19 @@ def main():
 
     # -- full 5-layer fused stack (kernel + ctx + gather + filters)
     def stack(salt):
-        s_, v_ = s + salt.astype(cdt), v
+        s_, vf = s + salt.astype(cdt), v.reshape(N, DIM * H)
         for _ in range(LAYERS):
             x = jax.nn.silu(s_ @ w_ctx1) @ w_ctx2
-            w = ((phi) @ w_filt) * mask[..., None]
-            packed = jnp.concatenate([x, v_.reshape(N, DIM * H)], axis=-1)
+            x3 = x[..., 2 * H:]
+            packed = jnp.concatenate(
+                [x[..., : 2 * H]]
+                + [vf[..., d * H:(d + 1) * H] * x3 for d in range(DIM)],
+                axis=-1,
+            )
             gg = packed[senders]
             s_, vf = painn_msg.painn_layer(
-                gg, w, -dir_ij, s_, v_.reshape(N, DIM * H), p
+                gg, phi_ext, -dir_ij, s_, vf, p
             )
-            v_ = vf.reshape(N, DIM, H)
         return s_
 
     timeit("5-layer fused stack", stack)

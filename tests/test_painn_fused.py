@@ -113,3 +113,40 @@ def test_fused_painn_grads_flow():
     g0 = grads["PaiNNLayer_0"]
     assert float(jnp.abs(g0["mix_w1"]).max()) > 0
     assert float(jnp.abs(g0["vmix_w"]).max()) > 0
+
+
+def test_ensure_fused_params_painn_roundtrip():
+    """The runner's auto-conversion hook recognizes a standard-layout
+    PaiNN tree under a fused config (and leaves a fused tree alone)."""
+    from lagrangebench_tpu.config import Config
+    from lagrangebench_tpu.models import ensure_fused_params
+
+    feats, ptype, n_vels = dense_sample()
+    kw = dict(
+        hidden_size=H, output_size=1, num_mp_steps=L, n_rbf=5,
+        radius=1.0, n_vels=n_vels,
+    )
+    std_params = PaiNN(**kw).init(jax.random.PRNGKey(0), (feats, ptype))[
+        "params"
+    ]
+    fused = PaiNN(**kw, use_fused_layer=True)
+    cfg = Config({
+        "name": "painn", "fused_processor": True, "num_mp_steps": L,
+    })
+
+    converted = ensure_fused_params(dict(std_params), cfg)
+    out_conv = fused.apply({"params": converted}, (feats, ptype))
+    out_std = PaiNN(**kw).apply({"params": std_params}, (feats, ptype))
+    np.testing.assert_allclose(
+        np.asarray(out_conv["acc"]), np.asarray(out_std["acc"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # already-fused trees pass through unchanged
+    again = ensure_fused_params(converted, cfg)
+    assert again is converted
+
+    # fused_processor off: no conversion
+    cfg_off = Config({"name": "painn", "fused_processor": False,
+                      "num_mp_steps": L})
+    assert ensure_fused_params(std_params, cfg_off) is std_params
