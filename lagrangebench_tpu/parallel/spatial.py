@@ -25,7 +25,12 @@ Round-3 rework of the v1 proof-of-concept:
   (escalate caps) and ownership drift (re-partition at the current
   positions when ``2·max_drift + cutoff`` approaches the slab width);
 * reachable from the CLI: ``parallel.spatial: <n_devices>`` runs
-  spatially-sharded inference (runner.py), GNS only.
+  spatially-sharded inference (runner.py), GNS only;
+* TRAINING through the halo exchange (`build_spatial_gns_train_step`):
+  per-device grads of the global masked-MSE loss — sender-state
+  cotangents return home via the ``ppermute`` transpose — assembled with
+  one psum over the replicated parameters; 8-device grads match the
+  1-device computation exactly (tests/test_spatial.py).
 
 Partitioning (``n_dev >= 3``): each device sees candidates from its own
 slab plus both neighbor slabs, placed in a LOCAL frame
@@ -263,14 +268,7 @@ class _SpatialGNS:
         fp = jax.tree.map(
             jnp.asarray, fused_params_from_standard(params, num_mp_steps)
         )
-        self.enc = {k: fp[k] for k in fused_mp.ENC_PARAM_NAMES}
-        self.node_enc = fp["MLP_0"]
-        self.decoder = fp["MLP_1"]
-        self.embed = fp["Embed_0"]["embedding"] if "Embed_0" in fp else None
-        self.steps = [
-            {name: fp[f"mp{i}_{name}"] for name in fused_mp.PARAM_NAMES}
-            for i in range(num_mp_steps)
-        ]
+        self.fp = self.pack_params(fp, num_mp_steps)
 
         # local-frame grid: n_dev >= 3 -> [0, 3w] non-periodic in x;
         # n_dev <= 2 -> the full periodic box (candidates appear once)
@@ -283,6 +281,24 @@ class _SpatialGNS:
         grid = nb.make_grid(gbox, cutoff, pbc)
         assert grid is not None, "spatial sharding needs a cell grid"
         self.grid = grid
+
+    @staticmethod
+    def pack_params(fp: Dict, num_mp_steps: int) -> Dict:
+        """Flat fused-layout tree -> the structured tree ``_forward``
+        consumes (a plain pytree, so the forward can be differentiated
+        with respect to it)."""
+        return {
+            "enc": {k: fp[k] for k in fused_mp.ENC_PARAM_NAMES},
+            "node_enc": fp["MLP_0"],
+            "decoder": fp["MLP_1"],
+            "embed": (
+                fp["Embed_0"]["embedding"] if "Embed_0" in fp else None
+            ),
+            "steps": [
+                {name: fp[f"mp{i}_{name}"] for name in fused_mp.PARAM_NAMES}
+                for i in range(num_mp_steps)
+            ],
+        }
 
     # ---- collectives -----------------------------------------------------
     def _left(self, x):
@@ -339,8 +355,12 @@ class _SpatialGNS:
         return recv_pos, cand_pos, cand_valid
 
     # ---- one forward pass ------------------------------------------------
-    def _forward(self, pos, ptype, count, d_idx):
-        """pos (N_loc, T, dim) local window; returns (acc, overflow)."""
+    def _forward(self, pos, ptype, count, d_idx, fp=None):
+        """pos (N_loc, T, dim) local window; returns (acc, overflow).
+
+        ``fp`` overrides the packed parameter tree (used by the train step
+        to differentiate through this forward)."""
+        fp = self.fp if fp is None else fp
         n_loc = pos.shape[0]
         isl = self.isl
         most_recent = pos[:, isl - 1].astype(self.pos_dtype)
@@ -383,16 +403,16 @@ class _SpatialGNS:
 
         # GNS math through the fused-mirror functional form
         nodes = vel_hist
-        if self.embed is not None:
-            emb = self.embed[jnp.mod(ptype, self.num_particle_types)]
+        if fp["embed"] is not None:
+            emb = fp["embed"][jnp.mod(ptype, self.num_particle_types)]
             nodes = jnp.concatenate([nodes, emb], axis=-1)
-        h = apply_mlp_params(self.node_enc, nodes.astype(self.cdt))
+        h = apply_mlp_params(fp["node_enc"], nodes.astype(self.cdt))
         raw_edges = jnp.concatenate([rel_disp, rel_dist], axis=-1).astype(
             self.cdt
         )
-        e = fused_mp.encode_edges_reference(raw_edges, self.enc, self.cdt)
+        e = fused_mp.encode_edges_reference(raw_edges, fp["enc"], self.cdt)
 
-        for i, p in enumerate(self.steps):
+        for i, p in enumerate(fp["steps"]):
             hs_proj = apply_dense_params({"kernel": p["w_s"]}, h)
             hr_proj = apply_dense_params({"kernel": p["w_r"]}, h)
             if self.n_dev >= 3:
@@ -413,7 +433,7 @@ class _SpatialGNS:
                 e, hs_gath, hr_proj, h, edge_valid, p
             )
 
-        acc = apply_mlp_params(self.decoder, h, layer_norm=False)
+        acc = apply_mlp_params(fp["decoder"], h, layer_norm=False)
         return acc.astype(self.pos_dtype), nl_overflow
 
 
@@ -450,6 +470,98 @@ def build_spatial_gns_forward(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def build_spatial_gns_train_step(
+    mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
+    normalization_stats, cell_cap: Optional[int] = None,
+    num_particle_types: int = 9, compute_dtype=jnp.float32,
+):
+    """Spatially-sharded GNS training step (loss + psum'd gradients).
+
+    Gradients flow through the halo exchange: ``ppermute``'s transpose
+    routes sender-state cotangents back to the owning slab, so the
+    per-device grad of the GLOBAL loss is exact and the final ``psum``
+    over the replicated parameters yields the same gradient the
+    single-device trainer computes (parity-tested on a CPU mesh,
+    tests/test_spatial.py).
+
+    Returns ``step(fp, pos_sh, ptype_sh, counts) -> (loss, grads,
+    overflow)`` plus the initial packed parameter tree ``fp`` (the
+    fused-layout pytree of the standard flax tree ``params`` — convert a
+    trained ``fp`` back with the inverse mapping or keep training in this
+    layout). ``pos_sh`` is a ``spatial_partition`` output with
+    ``input_seq_length + 1`` frames: the first ``isl`` feed the model,
+    the last two plus frame ``isl-2`` give the normalized acceleration
+    target (same second finite difference as ``case.py``). Loss is the
+    kinematic-masked MSE over acceleration, averaged over all valid
+    non-kinematic particles of the GLOBAL system.
+    """
+    stats = normalization_stats
+    core = _SpatialGNS(
+        mesh, params, box=box, cutoff=cutoff,
+        input_seq_length=input_seq_length, num_mp_steps=num_mp_steps,
+        k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap,
+        vel_mean=stats["velocity"]["mean"], vel_std=stats["velocity"]["std"],
+        acc_mean=stats["acceleration"]["mean"],
+        acc_std=stats["acceleration"]["std"],
+        num_particle_types=num_particle_types, compute_dtype=compute_dtype,
+    )
+    isl = core.isl
+    box_j = core.box
+
+    def disp(a, b):
+        d = a - b
+        return d - box_j * jnp.round(d / box_j)
+
+    def local_loss(fp, pos, ptype, count):
+        d_idx = jax.lax.axis_index(DATA_AXIS)
+        n_loc = pos.shape[0]
+        pos = pos.astype(core.pos_dtype)
+        acc_pred, overflow = core._forward(
+            pos[:, :isl], ptype, count, d_idx, fp=fp
+        )
+
+        # normalized target acceleration from frames isl-2, isl-1, isl
+        cur_vel = disp(pos[:, isl - 1], pos[:, isl - 2])
+        next_vel = disp(pos[:, isl], pos[:, isl - 1])
+        acc_t = (next_vel - cur_vel - core.acc_mean) / core.acc_std
+
+        valid = jnp.arange(n_loc, dtype=jnp.int32) < count
+        non_kin = valid & (ptype != 1) & (ptype != 2) & (ptype != -1)
+        ldt = core.pos_dtype  # f32 normally, f64 in parity mode
+        per_node = jnp.sum(
+            (acc_pred.astype(ldt) - acc_t.astype(ldt)) ** 2, axis=-1
+        )
+        local_sum = jnp.sum(jnp.where(non_kin, per_node, 0.0))
+        local_cnt = jnp.sum(non_kin.astype(ldt))
+        # global count has no fp dependence, so this psum sits outside
+        # every differentiated path (with check_vma off, psum transposes
+        # to psum and differentiating THROUGH one over-counts by n_dev)
+        gcnt = jnp.maximum(jax.lax.psum(local_cnt, DATA_AXIS), 1.0)
+        return local_sum / gcnt, overflow
+
+    def local_step(fp, pos, ptype, count):
+        pos, ptype, count = pos[0], ptype[0], count[0]
+        (contrib, overflow), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(fp, pos, ptype, count)
+        # each device's grad covers its local contribution (halo-state
+        # cotangents return home via the ppermute transpose); the psum
+        # assembles the exact global-loss gradient
+        loss = jax.lax.psum(contrib, DATA_AXIS)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), DATA_AXIS) > 0
+        return loss, grads, overflow
+
+    batched, rep = P(DATA_AXIS), P()
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(rep, batched, batched, batched),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded), core.fp
 
 
 def build_spatial_gns_rollout(

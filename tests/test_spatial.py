@@ -228,3 +228,99 @@ def test_spatial_rollout_matches_unsharded():
         normalization_stats=stats, chunk=2, compute_dtype=jnp.float64,
     )
     np.testing.assert_allclose(preds, ref, rtol=1e-7, atol=1e-9)
+
+
+def test_spatial_train_step_matches_single_device():
+    """Training through the halo exchange: loss and psum'd grads on an
+    8-device mesh equal the 1-device (global-domain) computation — the
+    ppermute transpose routes sender-state cotangents back correctly."""
+    from lagrangebench_tpu.parallel.spatial import (
+        build_spatial_gns_train_step,
+    )
+
+    n, dim, isl = 1024, 3, 4
+    box, cutoff = 1.0, 0.09
+    mp_steps, latent = 2, 16
+
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, box, size=(n, 1, dim))
+    vel = rng.normal(0, 2e-3, size=(n, 1, dim))
+    # isl frames for the model + 1 more for the target
+    pos = np.mod(base + vel * np.arange(isl + 1)[None, :, None], box)
+    ptype = np.zeros(n, dtype=np.int32)
+    ptype[:5] = 1  # a few wall particles exercise the kinematic mask
+
+    stats = {
+        "velocity": {
+            "mean": jnp.zeros(dim, jnp.float64),
+            "std": jnp.full(dim, 1e-3, jnp.float64),
+        },
+        "acceleration": {
+            "mean": jnp.zeros(dim, jnp.float64),
+            "std": jnp.full(dim, 1e-4, jnp.float64),
+        },
+    }
+
+    metadata = {
+        "dim": dim, "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "bounds": [[0.0, box]] * dim,
+        "default_connectivity_radius": cutoff,
+        "vel_mean": [0.0] * dim, "vel_std": [1e-3] * dim,
+        "acc_mean": [0.0] * dim, "acc_std": [1e-4] * dim,
+    }
+    case = case_builder(
+        box=[box] * dim, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=0.0, dtype=jnp.float64,
+    )
+    model = GNS(particle_dimension=dim, latent_size=latent,
+                num_mp_steps=mp_steps, compute_dtype="float64")
+    init, _ = make_model_fns(model)
+    features, nbrs = case.allocate_eval((pos[:, :isl], ptype))
+    params, _ = init(jax.random.PRNGKey(1), (features, ptype))
+    params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+        if np.asarray(x).dtype.kind == "f" else jnp.asarray(x),
+        params,
+    )
+    k_cap = nbrs.idx.shape[1]
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev)
+        pos_sh, ptype_sh, counts, order = spatial_partition(
+            pos, ptype, n_dev, box_x=box
+        )
+        step, fp = build_spatial_gns_train_step(
+            mesh, params, box=[box] * dim, cutoff=cutoff,
+            input_seq_length=isl, num_mp_steps=mp_steps, k_cap=k_cap,
+            normalization_stats=stats, compute_dtype=jnp.float64,
+        )
+        loss, grads, overflow = step(
+            jax.tree.map(jnp.asarray, fp), jnp.asarray(pos_sh),
+            jnp.asarray(ptype_sh), jnp.asarray(counts),
+        )
+        assert not bool(overflow)
+        assert np.isfinite(float(loss))
+        results[n_dev] = (float(loss), jax.tree.map(np.asarray, grads))
+
+    loss1, g1 = results[1]
+    loss8, g8 = results[8]
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-9)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat8 = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(g8)
+    )
+    assert flat1 and len(flat1) == len(flat8)
+    some_nonzero = False
+    for k, v1 in flat1:
+        v8 = flat8[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            v8, v1, rtol=1e-7, atol=1e-12,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+        )
+        some_nonzero = some_nonzero or np.abs(v1).max() > 0
+    assert some_nonzero
