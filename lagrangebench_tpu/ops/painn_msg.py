@@ -187,10 +187,11 @@ def painn_layer_reference(g, phi, neg_dir, s, v_flat, p, eps: float = 1e-8):
         s, v_flat: (N, H), (N, dim*H) node state.
         p: LAYER_PARAM_NAMES flat dict.
     """
-    f32 = jnp.float32
+    cdt = s.dtype
+    # accumulate at >= f32; f64 inputs keep f64 (parity-mode exactness)
+    f32 = jnp.float64 if cdt == jnp.float64 else jnp.float32
     h = s.shape[-1]
     dim = neg_dir.shape[-1]
-    cdt = s.dtype
     r = phi.shape[-1] - 1
     prec = _mirror_precision(cdt)
 

@@ -25,7 +25,9 @@ Round-3 rework of the v1 proof-of-concept:
   (escalate caps) and ownership drift (re-partition at the current
   positions when ``2·max_drift + cutoff`` approaches the slab width);
 * reachable from the CLI: ``parallel.spatial: <n_devices>`` runs
-  spatially-sharded inference (runner.py), GNS only;
+  spatially-sharded inference (runner.py) for GNS and PaiNN — the slab
+  geometry/NL/halo machinery (`_SpatialBase`) is model-agnostic, each
+  model contributes its functional form over the shared mirrors;
 * TRAINING through the halo exchange (`build_spatial_gns_train_step`):
   per-device grads of the global masked-MSE loss — sender-state
   cotangents return home via the ``ppermute`` transpose — assembled with
@@ -51,6 +53,8 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..models.gns import fused_params_from_standard
+from ..models.painn import painn_fused_params_from_standard
+from ..ops import painn_msg
 from ..models.utils import apply_dense_params, apply_mlp_params
 from ..ops import fused_mp
 from ..ops import neighbors as nb
@@ -225,11 +229,12 @@ def _local_cell_nl(
     return senders, edge_valid, cell_overflow | row_overflow
 
 
-class _SpatialGNS:
-    """Shared geometry + GNS math for the sharded forward/rollout."""
+class _SpatialBase:
+    """Slab geometry, halo collectives and the per-device cell-table NL —
+    shared by every spatially-sharded model (GNS, PaiNN)."""
 
     def __init__(
-        self, mesh, params, *, box, cutoff, input_seq_length, num_mp_steps,
+        self, mesh, *, box, cutoff, input_seq_length,
         k_cap, cell_cap, vel_mean, vel_std, acc_mean=None, acc_std=None,
         num_particle_types=9, compute_dtype=jnp.float32,
     ):
@@ -249,7 +254,6 @@ class _SpatialGNS:
         )
         self.cutoff = float(cutoff)
         self.isl = input_seq_length
-        self.num_mp_steps = num_mp_steps
         self.k_cap = int(k_cap)
         self.cell_cap = int(cell_cap)
         self.vel_mean = jnp.asarray(vel_mean, self.pos_dtype)
@@ -262,14 +266,6 @@ class _SpatialGNS:
         )
         self.num_particle_types = num_particle_types
 
-        # the fused flat layout IS the parity-tested functional form of the
-        # standard flax GNS tree (models/gns.py, ops/fused_mp.py);
-        # checkpoint-loaded numpy leaves become device arrays here
-        fp = jax.tree.map(
-            jnp.asarray, fused_params_from_standard(params, num_mp_steps)
-        )
-        self.fp = self.pack_params(fp, num_mp_steps)
-
         # local-frame grid: n_dev >= 3 -> [0, 3w] non-periodic in x;
         # n_dev <= 2 -> the full periodic box (candidates appear once)
         if self.n_dev >= 3:
@@ -281,24 +277,6 @@ class _SpatialGNS:
         grid = nb.make_grid(gbox, cutoff, pbc)
         assert grid is not None, "spatial sharding needs a cell grid"
         self.grid = grid
-
-    @staticmethod
-    def pack_params(fp: Dict, num_mp_steps: int) -> Dict:
-        """Flat fused-layout tree -> the structured tree ``_forward``
-        consumes (a plain pytree, so the forward can be differentiated
-        with respect to it)."""
-        return {
-            "enc": {k: fp[k] for k in fused_mp.ENC_PARAM_NAMES},
-            "node_enc": fp["MLP_0"],
-            "decoder": fp["MLP_1"],
-            "embed": (
-                fp["Embed_0"]["embedding"] if "Embed_0" in fp else None
-            ),
-            "steps": [
-                {name: fp[f"mp{i}_{name}"] for name in fused_mp.PARAM_NAMES}
-                for i in range(num_mp_steps)
-            ],
-        }
 
     # ---- collectives -----------------------------------------------------
     def _left(self, x):
@@ -353,6 +331,60 @@ class _SpatialGNS:
             cand_valid = jnp.arange(n_loc, dtype=jnp.int32) < count
             recv_pos = most_recent
         return recv_pos, cand_pos, cand_valid
+
+    def _halo_concat(self, x):
+        """Node-level state -> candidate-row-aligned extension
+        [own, left, right] (matching ``_candidates`` layout)."""
+        if self.n_dev >= 3:
+            return jnp.concatenate(
+                [x, self._left(x), self._right(x)], axis=0
+            )
+        if self.n_dev == 2:
+            return jnp.concatenate([x, self._left(x)], axis=0)
+        return x
+
+
+class _SpatialGNS(_SpatialBase):
+    """GNS math over the shared slab geometry."""
+
+    def __init__(
+        self, mesh, params, *, box, cutoff, input_seq_length, num_mp_steps,
+        k_cap, cell_cap, vel_mean, vel_std, acc_mean=None, acc_std=None,
+        num_particle_types=9, compute_dtype=jnp.float32,
+    ):
+        super().__init__(
+            mesh, box=box, cutoff=cutoff, input_seq_length=input_seq_length,
+            k_cap=k_cap, cell_cap=cell_cap, vel_mean=vel_mean,
+            vel_std=vel_std, acc_mean=acc_mean, acc_std=acc_std,
+            num_particle_types=num_particle_types,
+            compute_dtype=compute_dtype,
+        )
+        self.num_mp_steps = num_mp_steps
+        # the fused flat layout IS the parity-tested functional form of the
+        # standard flax GNS tree (models/gns.py, ops/fused_mp.py);
+        # checkpoint-loaded numpy leaves become device arrays here
+        fp = jax.tree.map(
+            jnp.asarray, fused_params_from_standard(params, num_mp_steps)
+        )
+        self.fp = self.pack_params(fp, num_mp_steps)
+
+    @staticmethod
+    def pack_params(fp: Dict, num_mp_steps: int) -> Dict:
+        """Flat fused-layout tree -> the structured tree ``_forward``
+        consumes (a plain pytree, so the forward can be differentiated
+        with respect to it)."""
+        return {
+            "enc": {k: fp[k] for k in fused_mp.ENC_PARAM_NAMES},
+            "node_enc": fp["MLP_0"],
+            "decoder": fp["MLP_1"],
+            "embed": (
+                fp["Embed_0"]["embedding"] if "Embed_0" in fp else None
+            ),
+            "steps": [
+                {name: fp[f"mp{i}_{name}"] for name in fused_mp.PARAM_NAMES}
+                for i in range(num_mp_steps)
+            ],
+        }
 
     # ---- one forward pass ------------------------------------------------
     def _forward(self, pos, ptype, count, d_idx, fp=None):
@@ -415,17 +447,7 @@ class _SpatialGNS:
         for i, p in enumerate(fp["steps"]):
             hs_proj = apply_dense_params({"kernel": p["w_s"]}, h)
             hr_proj = apply_dense_params({"kernel": p["w_r"]}, h)
-            if self.n_dev >= 3:
-                hs_ext = jnp.concatenate(
-                    [hs_proj, self._left(hs_proj), self._right(hs_proj)],
-                    axis=0,
-                )
-            elif self.n_dev == 2:
-                hs_ext = jnp.concatenate(
-                    [hs_proj, self._left(hs_proj)], axis=0
-                )
-            else:
-                hs_ext = hs_proj
+            hs_ext = self._halo_concat(hs_proj)
             hs_gath = jnp.where(
                 edge_valid[..., None], hs_ext[safe_senders], 0.0
             )
@@ -435,6 +457,214 @@ class _SpatialGNS:
 
         acc = apply_mlp_params(fp["decoder"], h, layer_norm=False)
         return acc.astype(self.pos_dtype), nl_overflow
+
+
+class _SpatialPaiNN(_SpatialBase):
+    """PaiNN math over the shared slab geometry.
+
+    Functional form of the fused-variant flax model (models/painn.py,
+    ``use_fused_layer`` path): per layer, the interaction context runs at
+    node level, the packed [x1, x2, v*x3] state is halo-extended with two
+    ring ppermutes, and the edge message + mixing block goes through
+    :func:`ops.painn_msg.painn_layer_reference` — the mirror the fused
+    Pallas kernel is parity-tested against. Homogeneous particles,
+    periodic boxes (no ``bound``/``force`` features), like the sharded
+    GNS path.
+    """
+
+    def __init__(
+        self, mesh, params, *, box, cutoff, input_seq_length, num_mp_steps,
+        radius, k_cap, cell_cap, vel_mean, vel_std, acc_mean=None,
+        acc_std=None, compute_dtype=jnp.float32, eps: float = 1e-8,
+    ):
+        super().__init__(
+            mesh, box=box, cutoff=cutoff, input_seq_length=input_seq_length,
+            k_cap=k_cap, cell_cap=cell_cap, vel_mean=vel_mean,
+            vel_std=vel_std, acc_mean=acc_mean, acc_std=acc_std,
+            compute_dtype=compute_dtype,
+        )
+        self.num_mp_steps = num_mp_steps
+        # the RBF/cutoff radius is the MODEL's (1.5x the connectivity
+        # radius, applied to radius-normalized distances — build_painn)
+        self.radius = float(radius)
+        self.eps = float(eps)
+        if "filt_w" not in params.get("PaiNNLayer_0", {}):
+            params = painn_fused_params_from_standard(params, num_mp_steps)
+        self.fp = self.pack_params(
+            jax.tree.map(jnp.asarray, params), num_mp_steps
+        )
+
+    @staticmethod
+    def pack_params(fp: Dict, num_mp_steps: int) -> Dict:
+        """Fused-variant flax PaiNN tree -> plain pytree (standard trees
+        are converted with painn_fused_params_from_standard first)."""
+
+        def dense(sub):
+            return {"kernel": sub["Dense_0"]["kernel"],
+                    "bias": sub["Dense_0"].get("bias")}
+
+        layers = []
+        for i in range(num_mp_steps):
+            lyr = fp[f"PaiNNLayer_{i}"]
+            layers.append({
+                "ctx1": dense(lyr["LinearXav_0"]),
+                "ctx2": dense(lyr["LinearXav_1"]),
+                "kernel": {k: lyr[k] for k in painn_msg.LAYER_PARAM_NAMES},
+            })
+        gates = []
+        for i in range(2):
+            blk = fp[f"GatedEquivariantBlock_{i}"]
+            gates.append({
+                "vmix": blk["LinearXav_0"]["Dense_0"]["kernel"],
+                "g1": dense(blk["LinearXav_1"]),
+                "g2": dense(blk["LinearXav_2"]),
+            })
+        return {
+            "rbf": {"widths": fp["GaussianRBF_0"]["widths"],
+                    "offset": fp["GaussianRBF_0"]["offset"]},
+            "s_emb": dense(fp["LinearXav_0"]),
+            "v_emb": fp["LinearXav_1"]["Dense_0"]["kernel"],
+            "layers": layers,
+            "gates": gates,
+        }
+
+    def _gate_block(self, s, v, gp, scalar_out: int):
+        """GatedEquivariantBlock functional form (models/painn.py:59-94)."""
+        vm = jnp.einsum("ndh,ho->ndo", v, gp["vmix"])
+        half = vm.shape[-1] // 2
+        v_l, v_r = vm[..., :half], vm[..., half:]
+        v_r_norm = jnp.sqrt(jnp.sum(v_r**2, axis=-2) + self.eps)
+        gating = jnp.concatenate([s, v_r_norm], axis=-1)
+        gating = jax.nn.silu(
+            gating @ gp["g1"]["kernel"] + gp["g1"]["bias"]
+        )
+        gating = gating @ gp["g2"]["kernel"] + gp["g2"]["bias"]
+        s_out = gating[..., :scalar_out]
+        v_out = v_l * gating[..., None, scalar_out:]
+        return s_out, v_out
+
+    def _forward(self, pos, ptype, count, d_idx, fp=None):
+        """pos (N_loc, T, dim) local window; returns (acc, overflow)."""
+        fp = self.fp if fp is None else fp
+        n_loc = pos.shape[0]
+        isl = self.isl
+        cdt = self.cdt
+        most_recent = pos[:, isl - 1].astype(self.pos_dtype)
+        recv_valid = jnp.arange(n_loc, dtype=jnp.int32) < count
+
+        recv_pos, cand_pos, cand_valid = self._candidates(
+            most_recent, count, d_idx
+        )
+        senders, edge_valid, overflow = _local_cell_nl(
+            recv_pos, recv_valid, cand_pos, cand_valid, self.grid,
+            self.cell_cap, self.k_cap, self.cutoff,
+        )
+        m = cand_pos.shape[0]
+        safe = jnp.minimum(senders, m - 1)
+
+        # radius-normalized displacement in the local frame (features.py)
+        diff = recv_pos[:, None, :] - cand_pos[safe]
+        pbc_l = jnp.asarray(self.grid.pbc)
+        box_l = jnp.asarray(
+            [self.grid.cell_size[d] * self.grid.cells_per_side[d]
+             for d in range(len(self.grid.pbc))],
+            diff.dtype,
+        )
+        diff = jnp.where(
+            pbc_l[None, None, :],
+            diff - box_l * jnp.floor(diff / box_l + 0.5),
+            diff,
+        )
+        rel_disp = jnp.where(edge_valid[..., None], diff / self.cutoff, 0.0)
+        norm_ij = jnp.sqrt(jnp.sum(rel_disp**2, axis=-1) + self.eps)
+        dir_ij = rel_disp / (norm_ij[..., None] + self.eps)
+
+        # trainable gaussian RBF + cosine cutoff, per-edge scale column
+        widths = fp["rbf"]["widths"]
+        offsets = fp["rbf"]["offset"]
+        coeff = -0.5 / widths**2
+        phi = jnp.exp(
+            coeff * (norm_ij[..., None] - offsets) ** 2
+        ).astype(cdt)
+        cut = 0.5 * (jnp.cos(norm_ij * jnp.pi / self.radius) + 1.0)
+        cut = cut * (norm_ij < self.radius)
+        scale = cut.astype(cdt) * edge_valid.astype(cdt)
+        phi_ext = jnp.concatenate([phi, scale[..., None]], axis=-1)
+
+        # node features: normalized velocity history -> scalars + vectors
+        vel = pos[:, 1:isl].astype(self.pos_dtype) - pos[:, : isl - 1].astype(
+            self.pos_dtype
+        )
+        vel = vel - self.box * jnp.round(vel / self.box)
+        vel_n = (vel - self.vel_mean) / self.vel_std  # (N, n_vels, dim)
+        s0 = jnp.linalg.norm(vel_n, axis=-1).astype(cdt)  # (N, n_vels)
+        v0 = jnp.transpose(vel_n, (0, 2, 1)).astype(cdt)  # (N, dim, n_vels)
+
+        h = fp["s_emb"]["kernel"].shape[-1]
+        dim = v0.shape[1]
+        s = s0 @ fp["s_emb"]["kernel"] + fp["s_emb"]["bias"]
+        v_flat = jnp.einsum("ndc,ch->ndh", v0, fp["v_emb"]).reshape(
+            n_loc, dim * h
+        )
+        neg_dir = (-dir_ij).astype(cdt)
+
+        for lyr in fp["layers"]:
+            x = jax.nn.silu(
+                s @ lyr["ctx1"]["kernel"] + lyr["ctx1"]["bias"]
+            ) @ lyr["ctx2"]["kernel"] + lyr["ctx2"]["bias"]
+            x3 = x[..., 2 * h:]
+            packed = jnp.concatenate(
+                [x[..., : 2 * h]]
+                + [v_flat[..., d * h:(d + 1) * h] * x3 for d in range(dim)],
+                axis=-1,
+            )
+            g = self._halo_concat(packed)[safe]
+            s, v_flat = painn_msg.painn_layer_reference(
+                g, phi_ext, neg_dir, s, v_flat, lyr["kernel"],
+                eps=self.eps,
+            )
+
+        v = v_flat.reshape(n_loc, dim, h)
+        s, v = self._gate_block(s, v, fp["gates"][0], h // 2)
+        s, v = self._gate_block(s, v, fp["gates"][1], 1)
+        acc = jnp.squeeze(v, axis=-1)
+        return acc.astype(self.pos_dtype), overflow
+
+
+def build_spatial_painn_forward(
+    mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, radius,
+    k_cap, vel_mean, vel_std, cell_cap: Optional[int] = None,
+    compute_dtype=jnp.float32,
+):
+    """Spatially-sharded PaiNN forward over a 1D device mesh.
+
+    Same contract as :func:`build_spatial_gns_forward`; ``params`` is a
+    flax PaiNN tree in either the standard or the fused layout, and
+    ``radius`` is the model's RBF/cutoff radius (1.5x the connectivity
+    radius over radius-normalized distances — models/painn.py
+    build_painn).
+    """
+    core = _SpatialPaiNN(
+        mesh, params, box=box, cutoff=cutoff,
+        input_seq_length=input_seq_length, num_mp_steps=num_mp_steps,
+        radius=radius, k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap,
+        vel_mean=vel_mean, vel_std=vel_std, compute_dtype=compute_dtype,
+    )
+
+    def local_forward(pos, ptype, count):
+        d_idx = jax.lax.axis_index(DATA_AXIS)
+        acc, overflow = core._forward(pos[0], ptype[0], count[0], d_idx)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), DATA_AXIS) > 0
+        return acc[None], overflow
+
+    batched, rep = P(DATA_AXIS), P()
+    sharded = shard_map(
+        local_forward, mesh=mesh,
+        in_specs=(batched, batched, batched),
+        out_specs=(batched, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def build_spatial_gns_forward(
@@ -564,10 +794,36 @@ def build_spatial_gns_train_step(
     return jax.jit(sharded), core.fp
 
 
+def _make_core(
+    model, mesh, params, *, box, cutoff, input_seq_length, num_mp_steps,
+    k_cap, cell_cap, stats, num_particle_types, compute_dtype,
+    radius=None,
+):
+    """Model dispatch for the spatial cores (gns | painn)."""
+    common = dict(
+        box=box, cutoff=cutoff, input_seq_length=input_seq_length,
+        num_mp_steps=num_mp_steps, k_cap=k_cap, cell_cap=cell_cap,
+        vel_mean=stats["velocity"]["mean"], vel_std=stats["velocity"]["std"],
+        acc_mean=stats["acceleration"]["mean"],
+        acc_std=stats["acceleration"]["std"], compute_dtype=compute_dtype,
+    )
+    if model == "gns":
+        return _SpatialGNS(
+            mesh, params, num_particle_types=num_particle_types, **common
+        )
+    if model == "painn":
+        # the reference's PaiNN radius convention: 1.5x the (physical)
+        # connectivity radius, applied to radius-normalized distances
+        return _SpatialPaiNN(
+            mesh, params, radius=radius or 1.5 * cutoff, **common
+        )
+    raise ValueError(f"spatial sharding supports gns|painn, got {model}")
+
+
 def build_spatial_gns_rollout(
     mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
     cell_cap, normalization_stats, num_particle_types: int = 9,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, model: str = "gns", radius=None,
 ):
     """Chunked autoregressive rollout over the spatial mesh.
 
@@ -576,16 +832,16 @@ def build_spatial_gns_rollout(
     ``n_steps`` (static) semi-implicit-Euler steps on device. ``flags`` is
     (nl_overflow, drift) — drift means ownership staleness approached the
     halo margin and the caller must re-partition at the returned state.
+    ``model`` selects the sharded core (gns | painn — same step logic,
+    both cores expose ``_forward``).
     """
     stats = normalization_stats
-    core = _SpatialGNS(
-        mesh, params, box=box, cutoff=cutoff,
+    core = _make_core(
+        model, mesh, params, box=box, cutoff=cutoff,
         input_seq_length=input_seq_length, num_mp_steps=num_mp_steps,
-        k_cap=k_cap, cell_cap=cell_cap,
-        vel_mean=stats["velocity"]["mean"], vel_std=stats["velocity"]["std"],
-        acc_mean=stats["acceleration"]["mean"],
-        acc_std=stats["acceleration"]["std"],
+        k_cap=k_cap, cell_cap=cell_cap, stats=stats,
         num_particle_types=num_particle_types, compute_dtype=compute_dtype,
+        radius=radius,
     )
     isl = core.isl
     box_j = core.box
@@ -662,7 +918,7 @@ def spatial_rollout(
     params, pos: np.ndarray, ptype: np.ndarray, *, mesh, box, cutoff,
     input_seq_length, num_mp_steps, n_steps: int, normalization_stats,
     chunk: int = 25, multiplier: float = 1.25, compute_dtype=jnp.float32,
-    num_particle_types: int = 9, max_retries: int = 8,
+    num_particle_types: int = 9, max_retries: int = 8, model: str = "gns",
 ) -> np.ndarray:
     """Full spatially-sharded rollout with host-side fault handling.
 
@@ -692,6 +948,7 @@ def spatial_rollout(
                 normalization_stats=normalization_stats,
                 compute_dtype=compute_dtype,
                 num_particle_types=num_particle_types,
+                model=model,
             )
         pos_sh, ptype_sh, counts, order = spatial_partition(
             cur, ptype, n_dev, box_x
@@ -745,8 +1002,9 @@ def infer_spatial(
     cfg_eval_infer=None,
     n_rollout_steps: int = 20,
     compute_dtype=jnp.float32,
+    model: str = "gns",
 ):
-    """Spatially-sharded GNS inference over a test split (GNS only).
+    """Spatially-sharded inference over a test split (GNS or PaiNN).
 
     The runner dispatches here when ``parallel.spatial > 1`` in infer
     mode. Metrics are computed on the gathered global trajectory with the
@@ -791,7 +1049,7 @@ def infer_spatial(
             cutoff=cutoff, input_seq_length=isl,
             num_mp_steps=num_mp_steps, n_steps=n_steps,
             normalization_stats=case.normalization_stats,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, model=model,
         )
         m = metrics_computer(
             jnp.asarray(preds), jnp.asarray(target.transpose(1, 0, 2))

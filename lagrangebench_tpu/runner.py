@@ -156,9 +156,10 @@ def train_or_infer(cfg: Config):
 
         n_spatial = int(cfg.parallel.get("spatial", 0) or 0)
         if n_spatial > 1:
-            # spatially-sharded inference (particle-axis slabs; GNS only)
-            assert cfg.model.name.lower() == "gns", (
-                "parallel.spatial supports the GNS model"
+            # spatially-sharded inference (particle-axis slabs)
+            model_name = cfg.model.name.lower()
+            assert model_name in ("gns", "painn"), (
+                "parallel.spatial supports the GNS and PaiNN models"
             )
             from .parallel.spatial import infer_spatial
 
@@ -168,6 +169,7 @@ def train_or_infer(cfg: Config):
                 num_mp_steps=cfg.model.num_mp_steps,
                 cfg_eval_infer=cfg.eval.infer,
                 n_rollout_steps=cfg.eval.n_rollout_steps,
+                model=model_name,
             )
             metrics = averaged_metrics(eval_metrics)
             print(metrics)

@@ -324,3 +324,164 @@ def test_spatial_train_step_matches_single_device():
         )
         some_nonzero = some_nonzero or np.abs(v1).max() > 0
     assert some_nonzero
+
+
+def test_spatial_painn_forward_matches_unsharded():
+    """Spatially-sharded PaiNN == the (fused-variant) flax model: the
+    slab geometry and per-layer packed-context halo exchange generalize
+    beyond GNS."""
+    from lagrangebench_tpu.models import PaiNN
+    from lagrangebench_tpu.parallel.spatial import (
+        build_spatial_painn_forward,
+    )
+
+    n, dim, isl = 1024, 3, 4
+    box, cutoff = 1.0, 0.09
+    mp_steps, latent = 2, 16
+    radius = 1.5  # model RBF radius over radius-normalized distances
+
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0, box, size=(n, 1, dim))
+    vel = rng.normal(0, 2e-3, size=(n, 1, dim))
+    pos = np.mod(base + vel * np.arange(isl)[None, :, None], box)
+    ptype = np.zeros(n, dtype=np.int32)
+
+    metadata = {
+        "dim": dim, "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "bounds": [[0.0, box]] * dim,
+        "default_connectivity_radius": cutoff,
+        "vel_mean": [0.0] * dim, "vel_std": [1e-3] * dim,
+        "acc_mean": [0.0] * dim, "acc_std": [1e-4] * dim,
+    }
+    case = case_builder(
+        box=[box] * dim, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=0.0, dtype=jnp.float64,
+        cfg_model={"magnitude_features": True},
+    )
+    model = PaiNN(
+        hidden_size=latent, output_size=1, num_mp_steps=mp_steps,
+        n_rbf=5, radius=radius, n_vels=isl - 1,
+        compute_dtype="float64", use_fused_layer=True,
+    )
+    init, apply = make_model_fns(model)
+    features, nbrs = case.allocate_eval((pos, ptype))
+    params, _ = init(jax.random.PRNGKey(2), (features, ptype))
+    params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+        if np.asarray(x).dtype.kind == "f" else jnp.asarray(x),
+        params,
+    )
+    features64 = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+        if np.asarray(x).dtype.kind == "f" else jnp.asarray(x),
+        features,
+    )
+    out_ref, _ = apply(params, {}, (features64, jnp.asarray(ptype)))
+    acc_ref = np.asarray(out_ref["acc"])
+
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    pos_sh, ptype_sh, counts, order = spatial_partition(
+        pos, ptype, n_dev, box_x=box
+    )
+    k_cap = nbrs.idx.shape[1]
+    fwd = build_spatial_painn_forward(
+        mesh, params, box=[box] * dim, cutoff=cutoff,
+        input_seq_length=isl, num_mp_steps=mp_steps, radius=radius,
+        k_cap=k_cap, vel_mean=jnp.zeros(dim, jnp.float64),
+        vel_std=jnp.full(dim, 1e-3, jnp.float64),
+        compute_dtype=jnp.float64,
+    )
+    acc_sh, overflow = fwd(
+        jnp.asarray(pos_sh), jnp.asarray(ptype_sh), jnp.asarray(counts)
+    )
+    assert not bool(overflow)
+    acc_sh = np.asarray(acc_sh)
+
+    # regather into global order and compare
+    acc_got = np.zeros_like(acc_ref)
+    start = 0
+    for d in range(n_dev):
+        c = int(counts[d])
+        acc_got[order[start : start + c]] = acc_sh[d, :c]
+        start += c
+    np.testing.assert_allclose(acc_got, acc_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_spatial_painn_rollout_8dev_matches_1dev():
+    """The generalized (model="painn") spatial rollout: 8 slabs with
+    per-layer halo exchange reproduce the 1-device global-domain rollout
+    (whose forward is parity-tested against the flax model above)."""
+    from lagrangebench_tpu.models import PaiNN
+    from lagrangebench_tpu.parallel.spatial import spatial_rollout
+
+    n, dim, isl = 1024, 3, 4
+    box, cutoff = 1.0, 0.09
+    mp_steps, latent = 2, 16
+    radius = 1.5
+    n_steps = 4
+
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0, box, size=(n, 1, dim))
+    vel = rng.normal(0, 2e-3, size=(n, 1, dim))
+    pos = np.mod(base + vel * np.arange(isl)[None, :, None], box)
+    ptype = np.zeros(n, dtype=np.int32)
+
+    metadata = {
+        "dim": dim, "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "bounds": [[0.0, box]] * dim,
+        "default_connectivity_radius": cutoff,
+        "vel_mean": [0.0] * dim, "vel_std": [1e-3] * dim,
+        "acc_mean": [0.0] * dim, "acc_std": [1e-4] * dim,
+    }
+    case = case_builder(
+        box=[box] * dim, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=0.0, dtype=jnp.float64,
+        cfg_model={"magnitude_features": True},
+    )
+    model = PaiNN(
+        hidden_size=latent, output_size=1, num_mp_steps=mp_steps,
+        n_rbf=5, radius=radius, n_vels=isl - 1,
+        compute_dtype="float64", use_fused_layer=True,
+    )
+    init, _ = make_model_fns(model)
+    features, nbrs = case.allocate_eval((pos, ptype))
+    params, _ = init(jax.random.PRNGKey(4), (features, ptype))
+    params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+        if np.asarray(x).dtype.kind == "f" else jnp.asarray(x),
+        params,
+    )
+    # a random-init PaiNN emits astronomically large accelerations (the
+    # per-layer clip allows |ds| up to 1e2 and the readout multiplies
+    # them); the integrated positions then jump many box lengths per
+    # step and the rollout becomes a chaos amplifier for f64 reduction
+    # noise. Damp the final readout so accelerations are physical and
+    # the 8-vs-1-device comparison is well-conditioned.
+    params = dict(params)
+    blk = jax.tree.map(lambda x: x, params["GatedEquivariantBlock_1"])
+    blk["LinearXav_2"]["Dense_0"]["kernel"] = (
+        blk["LinearXav_2"]["Dense_0"]["kernel"] * 1e-6
+    )
+    blk["LinearXav_2"]["Dense_0"]["bias"] = (
+        blk["LinearXav_2"]["Dense_0"]["bias"] * 1e-6
+    )
+    params["GatedEquivariantBlock_1"] = blk
+    stats = case.normalization_stats
+
+    outs = {}
+    for n_dev in (1, 8):
+        outs[n_dev] = spatial_rollout(
+            params, pos[:, :isl].astype(np.float64), ptype,
+            mesh=make_mesh(n_dev), box=[box] * dim, cutoff=cutoff,
+            input_seq_length=isl, num_mp_steps=mp_steps, n_steps=n_steps,
+            normalization_stats=stats, chunk=2,
+            compute_dtype=jnp.float64, model="painn",
+        )
+    np.testing.assert_allclose(outs[8], outs[1], rtol=1e-7, atol=1e-9)
