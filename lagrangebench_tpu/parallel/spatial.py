@@ -411,7 +411,8 @@ class _SpatialGNS(_SpatialBase):
         # features (contract of case/features.py, PBC branch)
         disp = lambda a, b: (lambda d: d - self.box * jnp.round(d / self.box))(a - b)
         vel = disp(pos[:, 1:isl], pos[:, : isl - 1])
-        vel_hist = ((vel - self.vel_mean) / self.vel_std).reshape(n_loc, -1)
+        vel_n = (vel - self.vel_mean) / self.vel_std
+        vel_hist = vel_n.reshape(n_loc, -1)
         # rel_disp: receiver - sender in the LOCAL frame (plain x diff,
         # min-image on periodic axes — matches the NL's distance test)
         diff = recv_pos[:, None, :] - cand_pos[safe_senders]
@@ -433,8 +434,18 @@ class _SpatialGNS(_SpatialBase):
             jnp.sum(rel_disp**2, axis=-1, keepdims=True)
         )
 
-        # GNS math through the fused-mirror functional form
+        # GNS math through the fused-mirror functional form; whether the
+        # checkpoint was trained with magnitude features is read off the
+        # encoder's input width (vel_hist [+ vel_mag] [+ embedding])
         nodes = vel_hist
+        expected_in = fp["node_enc"]["Dense_0"]["kernel"].shape[0]
+        embed_w = (
+            0 if fp["embed"] is None else fp["embed"].shape[-1]
+        )
+        if expected_in == nodes.shape[-1] + (isl - 1) + embed_w:
+            nodes = jnp.concatenate(
+                [nodes, jnp.linalg.norm(vel_n, axis=-1)], axis=-1
+            )
         if fp["embed"] is not None:
             emb = fp["embed"][jnp.mod(ptype, self.num_particle_types)]
             nodes = jnp.concatenate([nodes, emb], axis=-1)
@@ -706,8 +717,10 @@ def build_spatial_gns_train_step(
     mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
     normalization_stats, cell_cap: Optional[int] = None,
     num_particle_types: int = 9, compute_dtype=jnp.float32,
+    model: str = "gns", radius=None,
 ):
-    """Spatially-sharded GNS training step (loss + psum'd gradients).
+    """Spatially-sharded training step (loss + psum'd gradients);
+    ``model`` selects gns | painn.
 
     Gradients flow through the halo exchange: ``ppermute``'s transpose
     routes sender-state cotangents back to the owning slab, so the
@@ -728,14 +741,12 @@ def build_spatial_gns_train_step(
     non-kinematic particles of the GLOBAL system.
     """
     stats = normalization_stats
-    core = _SpatialGNS(
-        mesh, params, box=box, cutoff=cutoff,
+    core = _make_core(
+        model, mesh, params, box=box, cutoff=cutoff,
         input_seq_length=input_seq_length, num_mp_steps=num_mp_steps,
-        k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap,
-        vel_mean=stats["velocity"]["mean"], vel_std=stats["velocity"]["std"],
-        acc_mean=stats["acceleration"]["mean"],
-        acc_std=stats["acceleration"]["std"],
+        k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap, stats=stats,
         num_particle_types=num_particle_types, compute_dtype=compute_dtype,
+        radius=radius,
     )
     isl = core.isl
     box_j = core.box

@@ -230,10 +230,16 @@ def test_spatial_rollout_matches_unsharded():
     np.testing.assert_allclose(preds, ref, rtol=1e-7, atol=1e-9)
 
 
-def test_spatial_train_step_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("model_name", ["gns", "painn"])
+def test_spatial_train_step_matches_single_device(model_name):
     """Training through the halo exchange: loss and psum'd grads on an
     8-device mesh equal the 1-device (global-domain) computation — the
-    ppermute transpose routes sender-state cotangents back correctly."""
+    ppermute transpose routes sender-state cotangents back correctly
+    (for both sharded model families)."""
+    from lagrangebench_tpu.models import PaiNN
     from lagrangebench_tpu.parallel.spatial import (
         build_spatial_gns_train_step,
     )
@@ -274,9 +280,16 @@ def test_spatial_train_step_matches_single_device():
         cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
                        "format": "dense"},
         noise_std=0.0, dtype=jnp.float64,
+        cfg_model={"magnitude_features": True},
     )
-    model = GNS(particle_dimension=dim, latent_size=latent,
-                num_mp_steps=mp_steps, compute_dtype="float64")
+    if model_name == "gns":
+        model = GNS(particle_dimension=dim, latent_size=latent,
+                    num_mp_steps=mp_steps, compute_dtype="float64")
+    else:
+        model = PaiNN(hidden_size=latent, output_size=1,
+                      num_mp_steps=mp_steps, n_rbf=5, radius=1.5,
+                      n_vels=isl - 1, compute_dtype="float64",
+                      use_fused_layer=True)
     init, _ = make_model_fns(model)
     features, nbrs = case.allocate_eval((pos[:, :isl], ptype))
     params, _ = init(jax.random.PRNGKey(1), (features, ptype))
@@ -297,6 +310,7 @@ def test_spatial_train_step_matches_single_device():
             mesh, params, box=[box] * dim, cutoff=cutoff,
             input_seq_length=isl, num_mp_steps=mp_steps, k_cap=k_cap,
             normalization_stats=stats, compute_dtype=jnp.float64,
+            model=model_name,
         )
         loss, grads, overflow = step(
             jax.tree.map(jnp.asarray, fp), jnp.asarray(pos_sh),
