@@ -284,6 +284,211 @@ _IMPORTERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Export: flax -> reference haiku layout (the exact inverses of the
+# importers above, so checkpoints trained here can be evaluated by the
+# reference's `infer`/`load_haiku` unchanged — reference utils.py:50-128).
+# Round-trip exactness (haiku -> flax -> haiku, bitwise) is asserted against
+# the genuine-haiku replicas in tests/test_compat.py.
+# ---------------------------------------------------------------------------
+
+def _mlp_to_haiku(out: Dict, flax_mlp: Dict, prefix: str, mlp_name: str,
+                  ln_name=None) -> None:
+    """Inverse of `_mlp_from_haiku`: flax MLP params -> haiku path bundles."""
+    i = 0
+    while f"Dense_{i}" in flax_mlp:
+        lin = flax_mlp[f"Dense_{i}"]
+        out[f"{prefix}/{mlp_name}/~/linear_{i}"] = {
+            "w": np.asarray(lin["kernel"]), "b": np.asarray(lin["bias"])
+        }
+        i += 1
+    assert i > 0, f"no Dense layers in flax MLP for {prefix}/{mlp_name}"
+    if ln_name is not None:
+        ln = flax_mlp["LayerNorm_0"]
+        out[f"{prefix}/{ln_name}"] = {
+            "scale": np.asarray(ln["scale"]), "offset": np.asarray(ln["bias"])
+        }
+
+
+def flax_gns_to_haiku(params: Dict, num_mp_steps: int) -> Dict:
+    """Inverse of `haiku_gns_to_flax`: re-key flax GNS params to the haiku
+    module paths the reference model produces, re-fusing the decomposed
+    edge-MLP first layer back into one (3L, L) weight over
+    concat([h_s, h_r, e])."""
+    g = "gns"
+    enc, proc, dec = f"{g}/~_encoder", f"{g}/~_processor", f"{g}/~_decoder"
+    out: Dict = {
+        f"{g}/~/embed": {
+            "embeddings": np.asarray(params["Embed_0"]["embedding"])
+        }
+    }
+    _mlp_to_haiku(out, params["MLP_0"], enc, "MLP", "layer_norm")
+    _mlp_to_haiku(out, params["MLP_1"], enc, "MLP_1", "layer_norm_1")
+
+    for i in range(num_mp_steps):
+        sfx = "" if 2 * i == 0 else f"_{2 * i}"
+        # re-fuse the three decomposed projections into linear_0
+        w = np.concatenate(
+            [np.asarray(params[f"Dense_{3 * i + j}"]["kernel"])
+             for j in range(3)], axis=0,
+        )
+        b = np.asarray(params[f"Dense_{3 * i + 2}"]["bias"])
+        out[f"{proc}/MLP{sfx}/~/linear_0"] = {"w": w, "b": b}
+        msg = params[f"MLP_{2 + 2 * i}"]
+        j = 0
+        while f"Dense_{j}" in msg:
+            lin = msg[f"Dense_{j}"]
+            out[f"{proc}/MLP{sfx}/~/linear_{j + 1}"] = {
+                "w": np.asarray(lin["kernel"]), "b": np.asarray(lin["bias"])
+            }
+            j += 1
+        ln = msg["LayerNorm_0"]
+        out[f"{proc}/layer_norm{sfx}"] = {
+            "scale": np.asarray(ln["scale"]), "offset": np.asarray(ln["bias"])
+        }
+        _mlp_to_haiku(
+            out, params[f"MLP_{3 + 2 * i}"], proc,
+            f"MLP_{2 * i + 1}", f"layer_norm_{2 * i + 1}",
+        )
+
+    _mlp_to_haiku(out, params[f"MLP_{2 + 2 * num_mp_steps}"], dec, "MLP")
+    return out
+
+
+def _lin_to_haiku(flax_dense: Dict) -> Dict:
+    out = {"w": np.asarray(flax_dense["kernel"])}
+    if "bias" in flax_dense:
+        out["b"] = np.asarray(flax_dense["bias"])
+    return out
+
+
+def _xav_mlp_to_haiku(out: Dict, flax_mlp: Dict, prefix: str) -> None:
+    i = 0
+    while f"Dense_{i}" in flax_mlp:
+        out[f"{prefix}/~/linear_{i}"] = _lin_to_haiku(flax_mlp[f"Dense_{i}"])
+        i += 1
+    assert i > 0, f"no Dense layers for {prefix}"
+
+
+def flax_egnn_to_haiku(params: Dict, num_mp_steps: int) -> Dict:
+    """Inverse of `haiku_egnn_to_flax`."""
+    out: Dict = {"egnn/scalar_emb": _lin_to_haiku(params["Dense_0"])}
+    for k in range(num_mp_steps):
+        lyr_p = params[f"EGNNLayer_{k}"]
+        lyr = f"egnn/layer_{k}"
+        _xav_mlp_to_haiku(out, lyr_p["MLPXav_0"], f"{lyr}/~/mlp")
+        _xav_mlp_to_haiku(out, lyr_p["MLPXav_1"], f"{lyr}/~/mlp_1")
+        out[f"{lyr}/~/linear"] = _lin_to_haiku(lyr_p["Dense_0"])
+        out[f"{lyr}/~/linear_1"] = _lin_to_haiku(lyr_p["Dense_1"])
+        out[f"{lyr}/~/linear_2"] = _lin_to_haiku(lyr_p["Dense_2"])
+        out[f"{lyr}/~/linear_3"] = _lin_to_haiku(lyr_p["Dense_3"])
+    return out
+
+
+def flax_painn_to_haiku(
+    params: Dict, num_mp_steps: int, shared_filters: bool = False
+) -> Dict:
+    """Inverse of `haiku_painn_to_flax`: per-layer filter_net_i kernels are
+    re-concatenated column-wise into the reference's single
+    (n_rbf, L*3H) filter_net linear."""
+    rbf = params["GaussianRBF_0"]
+    out: Dict = {
+        "~": {"widths": np.asarray(rbf["widths"]),
+              "offset": np.asarray(rbf["offset"])},
+        "painn/~/scalar_embedding": _lin_to_haiku(
+            params["LinearXav_0"]["Dense_0"]),
+        "painn/~/vector_embedding": _lin_to_haiku(
+            params["LinearXav_1"]["Dense_0"]),
+    }
+
+    if shared_filters:
+        out["painn/~/filter_net"] = _lin_to_haiku(
+            params["filter_net"]["Dense_0"])
+    else:
+        fws, fbs = [], []
+        for i in range(num_mp_steps):
+            lin = params[f"filter_net_{i}"]["Dense_0"]
+            fws.append(np.asarray(lin["kernel"]))
+            fbs.append(np.asarray(lin["bias"]))
+        out["painn/~/filter_net"] = {
+            "w": np.concatenate(fws, axis=1), "b": np.concatenate(fbs)
+        }
+
+    hk_names = ("linear", "linear_1", "vector_mixing_block",
+                "linear_2", "linear_3")
+    for i in range(num_mp_steps):
+        lyr_p = params[f"PaiNNLayer_{i}"]
+        for j, hk_name in enumerate(hk_names):
+            out[f"painn/~/layer_{i}/~/{hk_name}"] = _lin_to_haiku(
+                lyr_p[f"LinearXav_{j}"]["Dense_0"])
+
+    for j, blk in enumerate(["readout_block_0", "readout_block_out"]):
+        blk_p = params[f"GatedEquivariantBlock_{j}"]
+        pre = f"painn/{blk}"
+        out[f"{pre}/~/vector_mix_net"] = _lin_to_haiku(
+            blk_p["LinearXav_0"]["Dense_0"])
+        out[f"{pre}/~/linear"] = _lin_to_haiku(blk_p["LinearXav_1"]["Dense_0"])
+        out[f"{pre}/~/linear_1"] = _lin_to_haiku(
+            blk_p["LinearXav_2"]["Dense_0"])
+    return out
+
+
+def flax_linear_to_haiku(params: Dict) -> Dict:
+    """Inverse of `haiku_linear_to_flax` (reference models/linear.py creates
+    one hk.Linear inside the "linear" module's __init__)."""
+    return {"linear/~/linear": _lin_to_haiku(params["Dense_0"])}
+
+
+_EXPORTERS = {
+    "gns": lambda p, cfg: flax_gns_to_haiku(p, int(cfg["num_mp_steps"])),
+    "egnn": lambda p, cfg: flax_egnn_to_haiku(p, int(cfg["num_mp_steps"])),
+    "painn": lambda p, cfg: flax_painn_to_haiku(p, int(cfg["num_mp_steps"])),
+    "linear": lambda p, cfg: flax_linear_to_haiku(p),
+}
+
+
+def _save_pytree_reference(ckp_dir: str, pytree, name: str) -> None:
+    """Write one pytree in the reference's on-disk layout (reference
+    utils.py:50-58): concatenated np.save leaf stream + pickled skeleton."""
+    with open(os.path.join(ckp_dir, f"{name}_array.npy"), "wb") as f:
+        for x in jax.tree.leaves(pytree):
+            np.save(f, np.asarray(x), allow_pickle=False)
+    skeleton = jax.tree.map(lambda t: 0, pytree)
+    with open(os.path.join(ckp_dir, f"{name}_tree.pkl"), "wb") as f:
+        pickle.dump(skeleton, f)
+
+
+def save_reference_checkpoint(
+    ckp_dir: str, model_name: str, params: Dict, cfg_model: Dict,
+    step: int = 0, loss: float = 0.0,
+) -> None:
+    """Export flax params as a reference `save_haiku` checkpoint directory.
+
+    Produces `params_{array.npy,tree.pkl}`, an empty haiku state, a pickled
+    empty opt_state (the reference's `load_haiku` unconditionally unpickles
+    `opt_state.pkl`; its `infer` never uses it), and `metadata_ckp.json` —
+    everything `infer(..., load_ckp=ckp_dir)` reads in the reference
+    (reference utils.py:100-128, evaluate/rollout.py:311-399).
+    """
+    model_name = model_name.lower()
+    if model_name not in _EXPORTERS:
+        raise NotImplementedError(
+            f"haiku checkpoint export not implemented for '{model_name}' "
+            f"(available: {sorted(_EXPORTERS)})"
+        )
+    import json
+
+    os.makedirs(ckp_dir, exist_ok=True)
+    hk_params = _EXPORTERS[model_name](params, cfg_model)
+    _save_pytree_reference(ckp_dir, hk_params, "params")
+    _save_pytree_reference(ckp_dir, {}, "state")
+    with open(os.path.join(ckp_dir, "opt_state.pkl"), "wb") as f:
+        pickle.dump((), f)
+    with open(os.path.join(ckp_dir, "metadata_ckp.json"), "w") as f:
+        json.dump({"step": int(step), "loss": float(loss)}, f)
+    print(f"Exported reference-layout checkpoint to {ckp_dir}")
+
+
 def load_reference_checkpoint(
     model_dir: str, model_name: str, cfg_model: Dict
 ) -> Tuple[Dict, Dict, int]:

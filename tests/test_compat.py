@@ -22,12 +22,29 @@ import pytest
 hk = pytest.importorskip("haiku")
 
 from lagrangebench_tpu.compat import (
+    flax_egnn_to_haiku,
+    flax_gns_to_haiku,
+    flax_linear_to_haiku,
+    flax_painn_to_haiku,
     haiku_gns_to_flax,
+    haiku_linear_to_flax,
     is_haiku_checkpoint,
     load_haiku_pytree,
     load_reference_checkpoint,
+    save_reference_checkpoint,
 )
 from lagrangebench_tpu.models import GNS, make_model_fns
+
+
+def _assert_pytrees_equal(a, b):
+    """Exact (bitwise) pytree equality, keys and arrays."""
+    fa = {str(p): np.asarray(x)
+          for p, x in jax.tree_util.tree_flatten_with_path(a)[0]}
+    fb = {str(p): np.asarray(x)
+          for p, x in jax.tree_util.tree_flatten_with_path(b)[0]}
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k])
 
 LATENT = 32
 MP_STEPS = 2
@@ -241,6 +258,8 @@ def test_egnn_import_forward_parity(tmp_path):
     params, _, _ = load_reference_checkpoint(
         ckp, "egnn", {"num_mp_steps": MP_STEPS}
     )
+    # export is the exact inverse of import (bitwise, against genuine haiku)
+    _assert_pytrees_equal(flax_egnn_to_haiku(params, MP_STEPS), hk_params)
 
     disp, shift = space.free()
     flax_model = EGNN(
@@ -403,6 +422,8 @@ def test_painn_import_forward_parity(tmp_path):
     params, _, _ = load_reference_checkpoint(
         ckp, "painn", {"num_mp_steps": MP_STEPS}
     )
+    # export is the exact inverse of import (bitwise, against genuine haiku)
+    _assert_pytrees_equal(flax_painn_to_haiku(params, MP_STEPS), hk_params)
 
     flax_model = PaiNN(
         hidden_size=LATENT, output_size=1, num_mp_steps=MP_STEPS,
@@ -454,3 +475,42 @@ def test_roundtrip_and_forward_parity(haiku_setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(out["acc"]), np.asarray(out_ref), rtol=1e-5, atol=1e-6
     )
+    # export is the exact inverse of import (bitwise, against genuine haiku)
+    _assert_pytrees_equal(flax_gns_to_haiku(params, MP_STEPS), hk_params)
+
+
+def test_export_reference_checkpoint_on_disk(haiku_setup, tmp_path):
+    """`save_reference_checkpoint` writes a directory the reference's
+    `load_haiku` can read (params/state leaf streams + pickled skeletons +
+    opt_state.pkl + metadata_ckp.json — reference utils.py:100-128), and
+    re-importing it restores the flax params bit-exactly."""
+    hk_params = haiku_setup[0]
+    params = haiku_gns_to_flax(hk_params, MP_STEPS)
+
+    ckp = str(tmp_path / "export_ckp")
+    save_reference_checkpoint(
+        ckp, "gns", params, {"num_mp_steps": MP_STEPS}, step=11, loss=0.5
+    )
+    for fname in ("params_array.npy", "params_tree.pkl", "state_array.npy",
+                  "state_tree.pkl", "opt_state.pkl", "metadata_ckp.json"):
+        assert os.path.exists(os.path.join(ckp, fname)), fname
+    assert is_haiku_checkpoint(ckp)
+
+    # the exported haiku tree matches the genuine one bitwise
+    _assert_pytrees_equal(load_haiku_pytree(ckp, "params"), hk_params)
+    assert load_haiku_pytree(ckp, "state") == {}
+
+    # and re-importing restores the flax params exactly
+    params2, _, step = load_reference_checkpoint(
+        ckp, "gns", {"num_mp_steps": MP_STEPS}
+    )
+    assert step == 11
+    _assert_pytrees_equal(params2, params)
+
+
+def test_linear_export_roundtrip():
+    flax_p = {"Dense_0": {"kernel": np.ones((7, 3), np.float32),
+                          "bias": np.zeros((3,), np.float32)}}
+    hk_p = flax_linear_to_haiku(flax_p)
+    assert set(hk_p) == {"linear/~/linear"}
+    _assert_pytrees_equal(haiku_linear_to_flax(hk_p), flax_p)
