@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "space"
 
 
 def make_mesh(n_devices: int = -1, devices=None) -> Mesh:
@@ -32,6 +33,22 @@ def make_mesh(n_devices: int = -1, devices=None) -> Mesh:
         f"requested {n_devices} devices, only {len(devices)} available"
     )
     return Mesh(np.asarray(devices[:n_devices]), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
+    """Build a 2D ``(data, space)`` mesh: the batch shards over ``data``
+    rows and each sample's particle slabs shard over the ``space`` ring
+    (``parallel.spatial``). Lay ``space`` innermost so its per-MP-step halo
+    ``ppermute``s ride neighboring ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_space
+    assert need <= len(devices), (
+        f"requested {need} devices ({n_data}x{n_space}), "
+        f"only {len(devices)} available"
+    )
+    grid = np.asarray(devices[:need]).reshape(n_data, n_space)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

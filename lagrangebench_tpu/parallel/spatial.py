@@ -58,7 +58,7 @@ from ..ops import painn_msg
 from ..models.utils import apply_dense_params, apply_mlp_params
 from ..ops import fused_mp
 from ..ops import neighbors as nb
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, SPATIAL_AXIS
 
 
 def spatial_partition(
@@ -237,9 +237,12 @@ class _SpatialBase:
         self, mesh, *, box, cutoff, input_seq_length,
         k_cap, cell_cap, vel_mean, vel_std, acc_mean=None, acc_std=None,
         num_particle_types=9, compute_dtype=jnp.float32,
+        axis_name: str = DATA_AXIS,
     ):
         self.mesh = mesh
-        self.n_dev = int(np.prod(mesh.devices.shape))
+        self.axis = axis_name
+        # the slab ring spans this axis of the (possibly multi-axis) mesh
+        self.n_dev = int(dict(mesh.shape).get(axis_name, 1))
         self.cdt = jnp.dtype(compute_dtype)
         self.pos_dtype = (
             jnp.float64 if self.cdt == jnp.float64 else jnp.float32
@@ -281,12 +284,12 @@ class _SpatialBase:
     # ---- collectives -----------------------------------------------------
     def _left(self, x):
         return jax.lax.ppermute(
-            x, DATA_AXIS, [(s, (s + 1) % self.n_dev) for s in range(self.n_dev)]
+            x, self.axis, [(s, (s + 1) % self.n_dev) for s in range(self.n_dev)]
         )
 
     def _right(self, x):
         return jax.lax.ppermute(
-            x, DATA_AXIS, [(s, (s - 1) % self.n_dev) for s in range(self.n_dev)]
+            x, self.axis, [(s, (s - 1) % self.n_dev) for s in range(self.n_dev)]
         )
 
     # ---- geometry --------------------------------------------------------
@@ -351,13 +354,14 @@ class _SpatialGNS(_SpatialBase):
         self, mesh, params, *, box, cutoff, input_seq_length, num_mp_steps,
         k_cap, cell_cap, vel_mean, vel_std, acc_mean=None, acc_std=None,
         num_particle_types=9, compute_dtype=jnp.float32,
+        axis_name: str = DATA_AXIS,
     ):
         super().__init__(
             mesh, box=box, cutoff=cutoff, input_seq_length=input_seq_length,
             k_cap=k_cap, cell_cap=cell_cap, vel_mean=vel_mean,
             vel_std=vel_std, acc_mean=acc_mean, acc_std=acc_std,
             num_particle_types=num_particle_types,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, axis_name=axis_name,
         )
         self.num_mp_steps = num_mp_steps
         # the fused flat layout IS the parity-tested functional form of the
@@ -487,12 +491,13 @@ class _SpatialPaiNN(_SpatialBase):
         self, mesh, params, *, box, cutoff, input_seq_length, num_mp_steps,
         radius, k_cap, cell_cap, vel_mean, vel_std, acc_mean=None,
         acc_std=None, compute_dtype=jnp.float32, eps: float = 1e-8,
+        axis_name: str = DATA_AXIS,
     ):
         super().__init__(
             mesh, box=box, cutoff=cutoff, input_seq_length=input_seq_length,
             k_cap=k_cap, cell_cap=cell_cap, vel_mean=vel_mean,
             vel_std=vel_std, acc_mean=acc_mean, acc_std=acc_std,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, axis_name=axis_name,
         )
         self.num_mp_steps = num_mp_steps
         # the RBF/cutoff radius is the MODEL's (1.5x the connectivity
@@ -748,45 +753,12 @@ def build_spatial_gns_train_step(
         num_particle_types=num_particle_types, compute_dtype=compute_dtype,
         radius=radius,
     )
-    isl = core.isl
-    box_j = core.box
-
-    def disp(a, b):
-        d = a - b
-        return d - box_j * jnp.round(d / box_j)
-
-    def local_loss(fp, pos, ptype, count):
-        d_idx = jax.lax.axis_index(DATA_AXIS)
-        n_loc = pos.shape[0]
-        pos = pos.astype(core.pos_dtype)
-        acc_pred, overflow = core._forward(
-            pos[:, :isl], ptype, count, d_idx, fp=fp
-        )
-
-        # normalized target acceleration from frames isl-2, isl-1, isl
-        cur_vel = disp(pos[:, isl - 1], pos[:, isl - 2])
-        next_vel = disp(pos[:, isl], pos[:, isl - 1])
-        acc_t = (next_vel - cur_vel - core.acc_mean) / core.acc_std
-
-        valid = jnp.arange(n_loc, dtype=jnp.int32) < count
-        non_kin = valid & (ptype != 1) & (ptype != 2) & (ptype != -1)
-        ldt = core.pos_dtype  # f32 normally, f64 in parity mode
-        per_node = jnp.sum(
-            (acc_pred.astype(ldt) - acc_t.astype(ldt)) ** 2, axis=-1
-        )
-        local_sum = jnp.sum(jnp.where(non_kin, per_node, 0.0))
-        local_cnt = jnp.sum(non_kin.astype(ldt))
-        # global count has no fp dependence, so this psum sits outside
-        # every differentiated path (with check_vma off, psum transposes
-        # to psum and differentiating THROUGH one over-counts by n_dev)
-        gcnt = jnp.maximum(jax.lax.psum(local_cnt, DATA_AXIS), 1.0)
-        return local_sum / gcnt, overflow
 
     def local_step(fp, pos, ptype, count):
         pos, ptype, count = pos[0], ptype[0], count[0]
         (contrib, overflow), grads = jax.value_and_grad(
-            local_loss, has_aux=True
-        )(fp, pos, ptype, count)
+            _sample_loss_contrib, argnums=1, has_aux=True
+        )(core, fp, pos, ptype, count)
         # each device's grad covers its local contribution (halo-state
         # cotangents return home via the ppermute transpose); the psum
         # assembles the exact global-loss gradient
@@ -805,10 +777,117 @@ def build_spatial_gns_train_step(
     return jax.jit(sharded), core.fp
 
 
+def _sample_loss_contrib(core, fp, pos, ptype, count):
+    """This device's contribution to ONE sample's kinematic-masked MSE
+    (summed over the sample's slab ring ``core.axis``, the contributions
+    form the global per-sample loss). ``pos`` is the local (N_loc,
+    isl+1, dim) window: ``isl`` model frames + the target frame."""
+    isl = core.isl
+    box_j = core.box
+
+    def disp(a, b):
+        d = a - b
+        return d - box_j * jnp.round(d / box_j)
+
+    d_idx = jax.lax.axis_index(core.axis)
+    n_loc = pos.shape[0]
+    pos = pos.astype(core.pos_dtype)
+    acc_pred, overflow = core._forward(
+        pos[:, :isl], ptype, count, d_idx, fp=fp
+    )
+
+    # normalized target acceleration from frames isl-2, isl-1, isl
+    cur_vel = disp(pos[:, isl - 1], pos[:, isl - 2])
+    next_vel = disp(pos[:, isl], pos[:, isl - 1])
+    acc_t = (next_vel - cur_vel - core.acc_mean) / core.acc_std
+
+    valid = jnp.arange(n_loc, dtype=jnp.int32) < count
+    non_kin = valid & (ptype != 1) & (ptype != 2) & (ptype != -1)
+    ldt = core.pos_dtype  # f32 normally, f64 in parity mode
+    per_node = jnp.sum(
+        (acc_pred.astype(ldt) - acc_t.astype(ldt)) ** 2, axis=-1
+    )
+    local_sum = jnp.sum(jnp.where(non_kin, per_node, 0.0))
+    local_cnt = jnp.sum(non_kin.astype(ldt))
+    # global count has no fp dependence, so this psum sits outside
+    # every differentiated path (with check_vma off, psum transposes
+    # to psum and differentiating THROUGH one over-counts by n_dev)
+    gcnt = jnp.maximum(jax.lax.psum(local_cnt, core.axis), 1.0)
+    return local_sum / gcnt, overflow
+
+
+def build_spatial_train_step_dp(
+    mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
+    normalization_stats, cell_cap: Optional[int] = None,
+    num_particle_types: int = 9, compute_dtype=jnp.float32,
+    model: str = "gns", radius=None,
+):
+    """Training step over a 2D ``(data, space)`` mesh (`make_mesh_2d`):
+    the batch shards over ``data`` rows and every sample is spatially
+    sharded over the ``space`` ring — DP and the halo exchange composed
+    in one ``shard_map``.
+
+    Per-MP-step halo ``ppermute``s run within each data row (vmapped over
+    the row's local samples); the loss is the batch mean of per-sample
+    global MSEs and the gradient psum spans both axes. 2x4-device results
+    match the single-device computation exactly (tests/test_spatial.py).
+
+    Returns ``step(fp, pos_sh, ptype_sh, counts) -> (loss, grads,
+    overflow)`` plus the initial packed tree ``fp``; inputs carry a
+    leading batch axis over per-sample ``spatial_partition`` outputs:
+    ``pos_sh (B, n_space, N_loc, isl+1, dim)``, sharded
+    ``P(data, space)``.
+    """
+    assert DATA_AXIS in mesh.shape and SPATIAL_AXIS in mesh.shape, (
+        f"build_spatial_train_step_dp needs a (data, space) mesh, "
+        f"got axes {tuple(mesh.shape)}"
+    )
+    n_data = int(dict(mesh.shape)[DATA_AXIS])
+    core = _make_core(
+        model, mesh, params, box=box, cutoff=cutoff,
+        input_seq_length=input_seq_length, num_mp_steps=num_mp_steps,
+        k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap,
+        stats=normalization_stats,
+        num_particle_types=num_particle_types, compute_dtype=compute_dtype,
+        radius=radius, axis_name=SPATIAL_AXIS,
+    )
+
+    def local_step(fp, pos, ptype, count):
+        # blocks: (B_loc, 1, N_loc, ...) — drop the sharded space axis
+        pos, ptype, count = pos[:, 0], ptype[:, 0], count[:, 0]
+        b_loc = pos.shape[0]
+
+        def batch_loss(fp):
+            contribs, overflows = jax.vmap(
+                lambda p, t, c: _sample_loss_contrib(core, fp, p, t, c)
+            )(pos, ptype, count)
+            # batch mean over the GLOBAL batch (b_loc per data row)
+            return jnp.sum(contribs) / (b_loc * n_data), jnp.any(overflows)
+
+        (contrib, overflow), grads = jax.value_and_grad(
+            batch_loss, has_aux=True
+        )(fp)
+        axes = (DATA_AXIS, SPATIAL_AXIS)
+        loss = jax.lax.psum(contrib, axes)
+        grads = jax.lax.psum(grads, axes)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), axes) > 0
+        return loss, grads, overflow
+
+    batched = P(DATA_AXIS, SPATIAL_AXIS)
+    rep = P()
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(rep, batched, batched, batched),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded), core.fp
+
+
 def _make_core(
     model, mesh, params, *, box, cutoff, input_seq_length, num_mp_steps,
     k_cap, cell_cap, stats, num_particle_types, compute_dtype,
-    radius=None,
+    radius=None, axis_name: str = DATA_AXIS,
 ):
     """Model dispatch for the spatial cores (gns | painn)."""
     common = dict(
@@ -817,6 +896,7 @@ def _make_core(
         vel_mean=stats["velocity"]["mean"], vel_std=stats["velocity"]["std"],
         acc_mean=stats["acceleration"]["mean"],
         acc_std=stats["acceleration"]["std"], compute_dtype=compute_dtype,
+        axis_name=axis_name,
     )
     if model == "gns":
         return _SpatialGNS(

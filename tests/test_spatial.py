@@ -340,6 +340,129 @@ def test_spatial_train_step_matches_single_device(model_name):
     assert some_nonzero
 
 
+def test_spatial_dp2d_train_step_matches_single_device():
+    """Batch x spatial 2D mesh: the (data=2, space=4) train step — DP rows
+    of spatially-sharded samples, two samples per row — reproduces the
+    single-device batch-mean loss and gradients exactly."""
+    from lagrangebench_tpu.parallel import make_mesh_2d
+    from lagrangebench_tpu.parallel.spatial import (
+        build_spatial_gns_train_step,
+        build_spatial_train_step_dp,
+    )
+
+    n, dim, isl = 384, 3, 4
+    box, cutoff = 1.0, 0.12
+    mp_steps, latent = 2, 16
+    n_batch, n_data, n_space = 4, 2, 4
+
+    rng = np.random.default_rng(7)
+    samples = []
+    for _ in range(n_batch):
+        base = rng.uniform(0, box, size=(n, 1, dim))
+        vel = rng.normal(0, 2e-3, size=(n, 1, dim))
+        samples.append(
+            np.mod(base + vel * np.arange(isl + 1)[None, :, None], box)
+        )
+    ptype = np.zeros(n, dtype=np.int32)
+    ptype[:5] = 1
+
+    stats = {
+        "velocity": {
+            "mean": jnp.zeros(dim, jnp.float64),
+            "std": jnp.full(dim, 1e-3, jnp.float64),
+        },
+        "acceleration": {
+            "mean": jnp.zeros(dim, jnp.float64),
+            "std": jnp.full(dim, 1e-4, jnp.float64),
+        },
+    }
+    metadata = {
+        "dim": dim, "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "bounds": [[0.0, box]] * dim,
+        "default_connectivity_radius": cutoff,
+        "vel_mean": [0.0] * dim, "vel_std": [1e-3] * dim,
+        "acc_mean": [0.0] * dim, "acc_std": [1e-4] * dim,
+    }
+    case = case_builder(
+        box=[box] * dim, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=0.0, dtype=jnp.float64,
+    )
+    model = GNS(particle_dimension=dim, latent_size=latent,
+                num_mp_steps=mp_steps, compute_dtype="float64")
+    init, _ = make_model_fns(model)
+    features, nbrs = case.allocate_eval((samples[0][:, :isl], ptype))
+    params, _ = init(jax.random.PRNGKey(2), (features, ptype))
+    params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+        if np.asarray(x).dtype.kind == "f" else jnp.asarray(x),
+        params,
+    )
+    k_cap = nbrs.idx.shape[1]
+    common = dict(
+        box=[box] * dim, cutoff=cutoff, input_seq_length=isl,
+        num_mp_steps=mp_steps, k_cap=k_cap, normalization_stats=stats,
+        compute_dtype=jnp.float64,
+    )
+
+    # reference: batch mean of per-sample single-device losses/grads
+    step1, fp = build_spatial_gns_train_step(make_mesh(1), params, **common)
+    fp = jax.tree.map(jnp.asarray, fp)
+    ref_losses, ref_grads = [], []
+    for pos in samples:
+        pos_sh, ptype_sh, counts, _ = spatial_partition(
+            pos, ptype, 1, box_x=box
+        )
+        loss, grads, overflow = step1(
+            fp, jnp.asarray(pos_sh), jnp.asarray(ptype_sh),
+            jnp.asarray(counts),
+        )
+        assert not bool(overflow)
+        ref_losses.append(float(loss))
+        ref_grads.append(jax.tree.map(np.asarray, grads))
+    loss_ref = float(np.mean(ref_losses))
+    grads_ref = jax.tree.map(
+        lambda *gs: np.mean(np.stack(gs), axis=0), *ref_grads
+    )
+
+    # 2D mesh: 2 data rows x 4-slab ring, 2 samples per row
+    mesh2 = make_mesh_2d(n_data, n_space)
+    parts = [
+        spatial_partition(pos, ptype, n_space, box_x=box) for pos in samples
+    ]
+    n_loc = max(p[0].shape[1] for p in parts)
+
+    def pad(arr, fill=0):
+        width = [(0, 0)] * arr.ndim
+        width[1] = (0, n_loc - arr.shape[1])
+        return np.pad(arr, width, constant_values=fill)
+
+    pos_b = np.stack([pad(p[0]) for p in parts])
+    ptype_b = np.stack([pad(p[1], fill=-1) for p in parts])
+    counts_b = np.stack([p[2] for p in parts])
+
+    step2, fp2 = build_spatial_train_step_dp(mesh2, params, **common)
+    loss2, grads2, overflow2 = step2(
+        jax.tree.map(jnp.asarray, fp2), jnp.asarray(pos_b),
+        jnp.asarray(ptype_b), jnp.asarray(counts_b),
+    )
+    assert not bool(overflow2)
+    np.testing.assert_allclose(float(loss2), loss_ref, rtol=1e-9)
+    flat_ref = jax.tree_util.tree_leaves_with_path(grads_ref)
+    flat_2d = dict(
+        (jax.tree_util.keystr(k), np.asarray(v))
+        for k, v in jax.tree_util.tree_leaves_with_path(grads2)
+    )
+    assert flat_ref and len(flat_ref) == len(flat_2d)
+    for k, v_ref in flat_ref:
+        np.testing.assert_allclose(
+            flat_2d[jax.tree_util.keystr(k)], v_ref, rtol=1e-7, atol=1e-12,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+        )
+
+
 def test_spatial_painn_forward_matches_unsharded():
     """Spatially-sharded PaiNN == the (fused-variant) flax model: the
     slab geometry and per-layer packed-context halo exchange generalize
