@@ -98,7 +98,13 @@ class SEGNNLayer(nn.Module):
         additional_message_features: Optional[IrrepsArray],
         senders: jnp.ndarray,
         receivers: jnp.ndarray,
+        sender_nodes: Optional[IrrepsArray] = None,
+        edge_mask: Optional[jnp.ndarray] = None,
     ) -> IrrepsArray:
+        """``sender_nodes``/``edge_mask`` serve the spatially-sharded path
+        (parallel/spatial.py): senders index a halo-extended candidate
+        array instead of ``nodes``, and edge validity comes from an
+        explicit mask (valid halo sender ids are >= n)."""
         n = nodes.shape[0]
 
         # message: phi_m steered by edge attributes (all chunk-wise: no
@@ -108,7 +114,8 @@ class SEGNNLayer(nn.Module):
             recv_nodes = nodes.broadcast_edges(receivers.shape[1])
         else:
             recv_nodes = nodes.indexed(receivers)
-        gathered = [nodes.indexed(senders), recv_nodes]
+        src = nodes if sender_nodes is None else sender_nodes
+        gathered = [src.indexed(senders), recv_nodes]
         if additional_message_features is not None:
             gathered.append(additional_message_features)
         msg = concatenate(gathered)
@@ -122,7 +129,9 @@ class SEGNNLayer(nn.Module):
             msg.irreps,
             [
                 [
-                    aggregate_to_receivers(p, receivers, senders, n)
+                    aggregate_to_receivers(
+                        p, receivers, senders, n, mask=edge_mask
+                    )
                     for p in ps
                 ]
                 for ps in msg.parts()

@@ -67,15 +67,19 @@ def aggregate_to_receivers(
     receivers: jnp.ndarray,
     senders: jnp.ndarray,
     num_segments: int,
+    mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Sum per-edge data into receiver buckets.
 
     Dense layout (receivers.ndim == 2, row i == receiver i): masked
     reshape-sum, scatter-free. Sparse layout: sorted scatter-add (padded
-    edges carry receiver == N and drop out of range).
+    edges carry receiver == N and drop out of range). An explicit (N, K)
+    ``mask`` overrides the sender-fill-value convention (the spatial path
+    has valid sender ids >= N — halo candidates).
     """
     if receivers.ndim == 2:
-        mask = _dense_mask(senders, num_segments)
+        if mask is None:
+            mask = _dense_mask(senders, num_segments)
         mask = mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
         return jnp.sum(
             jnp.where(mask, data, jnp.zeros((), data.dtype)), axis=1
@@ -88,10 +92,12 @@ def aggregate_mean_to_receivers(
     receivers: jnp.ndarray,
     senders: jnp.ndarray,
     num_segments: int,
+    mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Mean per-edge data into receiver buckets (zero-safe)."""
     if receivers.ndim == 2:
-        mask = _dense_mask(senders, num_segments)
+        if mask is None:
+            mask = _dense_mask(senders, num_segments)
         maskb = mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
         total = jnp.sum(jnp.where(maskb, data, jnp.zeros((), data.dtype)), axis=1)
         counts = jnp.sum(mask, axis=1, dtype=data.dtype)

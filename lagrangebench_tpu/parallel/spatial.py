@@ -25,9 +25,11 @@ Round-3 rework of the v1 proof-of-concept:
   (escalate caps) and ownership drift (re-partition at the current
   positions when ``2·max_drift + cutoff`` approaches the slab width);
 * reachable from the CLI: ``parallel.spatial: <n_devices>`` runs
-  spatially-sharded inference (runner.py) for GNS and PaiNN — the slab
-  geometry/NL/halo machinery (`_SpatialBase`) is model-agnostic, each
-  model contributes its functional form over the shared mirrors;
+  spatially-sharded inference (runner.py) for GNS, PaiNN and SEGNN — the
+  slab geometry/NL/halo machinery (`_SpatialBase`) is model-agnostic:
+  GNS/PaiNN contribute functional forms over the shared fused-kernel
+  mirrors, SEGNN applies its flax submodules directly on their parameter
+  subtrees (halo-extended sender array + explicit edge mask);
 * TRAINING through the halo exchange (`build_spatial_gns_train_step`):
   per-device grads of the global masked-MSE loss — sender-state
   cotangents return home via the ``ppermute`` transpose — assembled with
@@ -474,6 +476,202 @@ class _SpatialGNS(_SpatialBase):
         return acc.astype(self.pos_dtype), nl_overflow
 
 
+class _SpatialSEGNN(_SpatialBase):
+    """SEGNN over the shared slab geometry.
+
+    Unlike the GNS/PaiNN cores (functional mirrors of fused layouts), the
+    steerable math is NOT re-stated: each step applies the actual flax
+    submodules (`SEGNNLayer`, `O3TensorProduct[Gate]`) on their parameter
+    subtrees — the layer accepts a halo-extended sender array + explicit
+    edge mask (models/segnn.py), so the per-step exchange is the per-m
+    parts of the node IrrepsArray (two ring ppermutes per part).
+    Homogeneous-particle support optional; periodic boxes; instance norm
+    is rejected (it needs global node statistics).
+    """
+
+    def __init__(
+        self, mesh, params, *, model_def, box, cutoff, input_seq_length,
+        k_cap, cell_cap, vel_mean, vel_std, acc_mean=None, acc_std=None,
+        compute_dtype=jnp.float32, axis_name: str = DATA_AXIS,
+        num_particle_types=9, num_mp_steps=None,
+    ):
+        from ..models.segnn import SEGNN
+
+        super().__init__(
+            mesh, box=box, cutoff=cutoff, input_seq_length=input_seq_length,
+            k_cap=k_cap, cell_cap=cell_cap, vel_mean=vel_mean,
+            vel_std=vel_std, acc_mean=acc_mean, acc_std=acc_std,
+            num_particle_types=num_particle_types,
+            compute_dtype=compute_dtype, axis_name=axis_name,
+        )
+        assert isinstance(model_def, SEGNN), (
+            "spatial SEGNN needs the flax SEGNN module as model_def"
+        )
+        assert model_def.norm is None, (
+            "spatial SEGNN does not support instance norm (it needs "
+            "global node statistics)"
+        )
+        self.m = model_def
+        self.fp = jax.tree.map(jnp.asarray, params)
+
+    def _halo_extend_irreps(self, z):
+        from ..models.e3 import IrrepsArray
+
+        return IrrepsArray.from_parts(
+            z.irreps,
+            [[self._halo_concat(p) for p in ps] for ps in z.parts()],
+        )
+
+    def _forward(self, pos, ptype, count, d_idx, fp=None):
+        from ..models.e3 import (
+            Irreps,
+            IrrepsArray,
+            O3TensorProduct,
+            O3TensorProductGate,
+            from_mul_major,
+            spherical_harmonics_fn,
+        )
+        from ..models.segnn import SEGNNLayer, weight_balanced_irreps
+
+        m = self.m
+        fp = self.fp if fp is None else fp
+        n_loc = pos.shape[0]
+        isl = self.isl
+        dim = pos.shape[-1]
+        most_recent = pos[:, isl - 1].astype(self.pos_dtype)
+        recv_valid = jnp.arange(n_loc, dtype=jnp.int32) < count
+
+        recv_pos, cand_pos, cand_valid = self._candidates(
+            most_recent, count, d_idx
+        )
+        senders, edge_valid, nl_overflow = _local_cell_nl(
+            recv_pos, recv_valid, cand_pos, cand_valid, self.grid,
+            self.cell_cap, self.k_cap, self.cutoff,
+        )
+        n_cand = cand_pos.shape[0]
+        safe_senders = jnp.minimum(senders, n_cand - 1)
+
+        # features (contract of case/features.py, PBC branch), cdt like
+        # the unsharded model's feature chain
+        cdt = self.pos_dtype
+        disp = lambda a, b: (lambda d: d - self.box * jnp.round(d / self.box))(a - b)
+        vel = disp(pos[:, 1:isl], pos[:, : isl - 1])
+        vel_n = ((vel - self.vel_mean) / self.vel_std).astype(cdt)
+        diff = recv_pos[:, None, :] - cand_pos[safe_senders]
+        pbc_l = jnp.asarray(self.grid.pbc)
+        box_l = jnp.asarray(
+            [self.grid.cell_size[d] * self.grid.cells_per_side[d]
+             for d in range(len(self.grid.pbc))],
+            diff.dtype,
+        )
+        diff = jnp.where(
+            pbc_l[None, None, :],
+            diff - box_l * jnp.floor(diff / box_l + 0.5),
+            diff,
+        )
+        rel_disp = jnp.where(
+            edge_valid[..., None], diff / self.cutoff, 0.0
+        ).astype(cdt)
+        rel_dist = jnp.sqrt(jnp.sum(rel_disp**2, axis=-1, keepdims=True))
+
+        # 2D -> 3D lift (models/utils.features_2d_to_3d)
+        n_vels = m.n_vels
+        vel3 = vel_n.reshape(n_loc, n_vels, dim)
+        if dim == 2:
+            pad = [(0, 0)] * 2 + [(0, 1)]
+            vel3 = jnp.pad(vel3, pad)
+            rel_disp3 = jnp.pad(rel_disp, [(0, 0), (0, 0), (0, 1)])
+        else:
+            rel_disp3 = rel_disp
+
+        # steerable attributes (models/segnn.py SEGNN._attributes)
+        attribute_irreps = Irreps.spherical_harmonics(m.lmax_attributes)
+        sh = spherical_harmonics_fn(m.lmax_attributes)
+        if n_vels == 1:
+            vel_agg = vel3[:, 0]
+        elif m.velocity_aggregate == "avg":
+            vel_agg = jnp.mean(vel3, axis=1)
+        else:
+            vel_agg = vel3[:, -1]
+        edge_attr = sh(rel_disp3)
+        vel_attr = sh(vel_agg)
+        maskf = edge_valid[..., None].astype(edge_attr.dtype)
+        scattered = jnp.sum(edge_attr * maskf, axis=1) / jnp.maximum(
+            jnp.sum(maskf, axis=1), 1.0
+        )
+        node_attr = (vel_attr + scattered).at[:, 0].set(1.0)
+        node_attributes = IrrepsArray(attribute_irreps, node_attr)
+        edge_attributes = IrrepsArray(attribute_irreps, edge_attr)
+
+        # node features in irreps order (homogeneous periodic case:
+        # velocity vectors [+ magnitudes] [+ one-hot type])
+        node_feats = [vel3.reshape(n_loc, n_vels * 3)]
+        node_irreps = Irreps(m.node_features_irreps)
+        n_scalars = node_irreps.count("0e")
+        expected_scalars = (0 if m.homogeneous_particles
+                            else self.num_particle_types)
+        if n_scalars >= n_vels + expected_scalars:
+            node_feats.append(jnp.linalg.norm(vel3, axis=-1))
+        if not m.homogeneous_particles:
+            node_feats.append(
+                jax.nn.one_hot(ptype, self.num_particle_types, dtype=cdt)
+            )
+        assert node_irreps.dim == sum(f.shape[-1] for f in node_feats), (
+            f"spatial SEGNN supports velocity[+magnitude][+type] node "
+            f"features; model expects {node_irreps} "
+            f"({node_irreps.dim} dims)"
+        )
+        nodes = from_mul_major(
+            node_irreps, jnp.concatenate(node_feats, axis=-1)
+        )
+        edge_feats = IrrepsArray(
+            Irreps(m.edge_features_irreps),
+            jnp.concatenate([rel_disp3, rel_dist], axis=-1),
+        )
+
+        hidden_irreps = weight_balanced_irreps(
+            m.scalar_units, attribute_irreps, m.lmax_hidden
+        )
+
+        # embedding
+        nodes = O3TensorProduct(
+            hidden_irreps, compute_dtype=m.compute_dtype
+        ).apply({"params": fp["O3TensorProduct_0"]}, nodes, node_attributes)
+
+        # message passing: halo-extend the node state per step
+        layer_mod = SEGNNLayer(
+            output_irreps=hidden_irreps, n_blocks=m.blocks_per_step,
+            norm=m.norm, compute_dtype=m.compute_dtype,
+        )
+        receivers2d = jax.lax.broadcasted_iota(
+            jnp.int32, safe_senders.shape, 0
+        )
+        for i in range(m.num_mp_steps):
+            nodes_ext = self._halo_extend_irreps(nodes)
+            nodes = layer_mod.apply(
+                {"params": fp[f"SEGNNLayer_{i}"]},
+                nodes, node_attributes, edge_attributes, edge_feats,
+                safe_senders, receivers2d,
+                sender_nodes=nodes_ext, edge_mask=edge_valid,
+            )
+
+        # decoder
+        x = nodes
+        for j in range(m.blocks_per_step):
+            x = O3TensorProductGate(
+                hidden_irreps, compute_dtype=m.compute_dtype
+            ).apply(
+                {"params": fp[f"O3TensorProductGate_{j}"]},
+                x, node_attributes,
+            )
+        out = O3TensorProduct(
+            Irreps(m.output_irreps), compute_dtype=m.compute_dtype
+        ).apply({"params": fp["O3TensorProduct_1"]}, x, node_attributes)
+
+        acc = out.array[:, :dim]
+        return acc.astype(self.pos_dtype), nl_overflow
+
+
 class _SpatialPaiNN(_SpatialBase):
     """PaiNN math over the shared slab geometry.
 
@@ -683,6 +881,40 @@ def build_spatial_painn_forward(
     return jax.jit(sharded)
 
 
+def build_spatial_segnn_forward(
+    mesh, params, model_def, *, box, cutoff, input_seq_length, k_cap,
+    vel_mean, vel_std, cell_cap: Optional[int] = None,
+    compute_dtype=jnp.float32,
+):
+    """Spatially-sharded SEGNN forward over a 1D device mesh.
+
+    Same contract as :func:`build_spatial_gns_forward`; ``model_def`` is
+    the flax SEGNN module (its submodules run on their parameter
+    subtrees — no functional mirror).
+    """
+    core = _SpatialSEGNN(
+        mesh, params, model_def=model_def, box=box, cutoff=cutoff,
+        input_seq_length=input_seq_length,
+        k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap,
+        vel_mean=vel_mean, vel_std=vel_std, compute_dtype=compute_dtype,
+    )
+
+    def local_forward(pos, ptype, count):
+        d_idx = jax.lax.axis_index(DATA_AXIS)
+        acc, overflow = core._forward(pos[0], ptype[0], count[0], d_idx)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), DATA_AXIS) > 0
+        return acc[None], overflow
+
+    batched, rep = P(DATA_AXIS), P()
+    sharded = shard_map(
+        local_forward, mesh=mesh,
+        in_specs=(batched, batched, batched),
+        out_specs=(batched, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def build_spatial_gns_forward(
     mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
     vel_mean, vel_std, cell_cap: Optional[int] = None,
@@ -722,7 +954,7 @@ def build_spatial_gns_train_step(
     mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
     normalization_stats, cell_cap: Optional[int] = None,
     num_particle_types: int = 9, compute_dtype=jnp.float32,
-    model: str = "gns", radius=None,
+    model: str = "gns", radius=None, model_def=None,
 ):
     """Spatially-sharded training step (loss + psum'd gradients);
     ``model`` selects gns | painn.
@@ -751,7 +983,7 @@ def build_spatial_gns_train_step(
         input_seq_length=input_seq_length, num_mp_steps=num_mp_steps,
         k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap, stats=stats,
         num_particle_types=num_particle_types, compute_dtype=compute_dtype,
-        radius=radius,
+        radius=radius, model_def=model_def,
     )
 
     def local_step(fp, pos, ptype, count):
@@ -820,7 +1052,7 @@ def build_spatial_train_step_dp(
     mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
     normalization_stats, cell_cap: Optional[int] = None,
     num_particle_types: int = 9, compute_dtype=jnp.float32,
-    model: str = "gns", radius=None,
+    model: str = "gns", radius=None, model_def=None,
 ):
     """Training step over a 2D ``(data, space)`` mesh (`make_mesh_2d`):
     the batch shards over ``data`` rows and every sample is spatially
@@ -849,7 +1081,7 @@ def build_spatial_train_step_dp(
         k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap,
         stats=normalization_stats,
         num_particle_types=num_particle_types, compute_dtype=compute_dtype,
-        radius=radius, axis_name=SPATIAL_AXIS,
+        radius=radius, axis_name=SPATIAL_AXIS, model_def=model_def,
     )
 
     def local_step(fp, pos, ptype, count):
@@ -887,9 +1119,9 @@ def build_spatial_train_step_dp(
 def _make_core(
     model, mesh, params, *, box, cutoff, input_seq_length, num_mp_steps,
     k_cap, cell_cap, stats, num_particle_types, compute_dtype,
-    radius=None, axis_name: str = DATA_AXIS,
+    radius=None, axis_name: str = DATA_AXIS, model_def=None,
 ):
-    """Model dispatch for the spatial cores (gns | painn)."""
+    """Model dispatch for the spatial cores (gns | painn | segnn)."""
     common = dict(
         box=box, cutoff=cutoff, input_seq_length=input_seq_length,
         num_mp_steps=num_mp_steps, k_cap=k_cap, cell_cap=cell_cap,
@@ -908,13 +1140,21 @@ def _make_core(
         return _SpatialPaiNN(
             mesh, params, radius=radius or 1.5 * cutoff, **common
         )
-    raise ValueError(f"spatial sharding supports gns|painn, got {model}")
+    if model == "segnn":
+        return _SpatialSEGNN(
+            mesh, params, model_def=model_def,
+            num_particle_types=num_particle_types, **common,
+        )
+    raise ValueError(
+        f"spatial sharding supports gns|painn|segnn, got {model}"
+    )
 
 
 def build_spatial_gns_rollout(
     mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
     cell_cap, normalization_stats, num_particle_types: int = 9,
     compute_dtype=jnp.float32, model: str = "gns", radius=None,
+    model_def=None,
 ):
     """Chunked autoregressive rollout over the spatial mesh.
 
@@ -932,7 +1172,7 @@ def build_spatial_gns_rollout(
         input_seq_length=input_seq_length, num_mp_steps=num_mp_steps,
         k_cap=k_cap, cell_cap=cell_cap, stats=stats,
         num_particle_types=num_particle_types, compute_dtype=compute_dtype,
-        radius=radius,
+        radius=radius, model_def=model_def,
     )
     isl = core.isl
     box_j = core.box
@@ -1010,6 +1250,7 @@ def spatial_rollout(
     input_seq_length, num_mp_steps, n_steps: int, normalization_stats,
     chunk: int = 25, multiplier: float = 1.25, compute_dtype=jnp.float32,
     num_particle_types: int = 9, max_retries: int = 8, model: str = "gns",
+    model_def=None,
 ) -> np.ndarray:
     """Full spatially-sharded rollout with host-side fault handling.
 
@@ -1039,7 +1280,7 @@ def spatial_rollout(
                 normalization_stats=normalization_stats,
                 compute_dtype=compute_dtype,
                 num_particle_types=num_particle_types,
-                model=model,
+                model=model, model_def=model_def,
             )
         pos_sh, ptype_sh, counts, order = spatial_partition(
             cur, ptype, n_dev, box_x
@@ -1094,6 +1335,7 @@ def infer_spatial(
     n_rollout_steps: int = 20,
     compute_dtype=jnp.float32,
     model: str = "gns",
+    model_def=None,
 ):
     """Spatially-sharded inference over a test split (GNS or PaiNN).
 
@@ -1140,7 +1382,7 @@ def infer_spatial(
             cutoff=cutoff, input_seq_length=isl,
             num_mp_steps=num_mp_steps, n_steps=n_steps,
             normalization_stats=case.normalization_stats,
-            compute_dtype=compute_dtype, model=model,
+            compute_dtype=compute_dtype, model=model, model_def=model_def,
         )
         m = metrics_computer(
             jnp.asarray(preds), jnp.asarray(target.transpose(1, 0, 2))

@@ -233,12 +233,12 @@ def test_spatial_rollout_matches_unsharded():
 import pytest
 
 
-@pytest.mark.parametrize("model_name", ["gns", "painn"])
+@pytest.mark.parametrize("model_name", ["gns", "painn", "segnn"])
 def test_spatial_train_step_matches_single_device(model_name):
     """Training through the halo exchange: loss and psum'd grads on an
     8-device mesh equal the 1-device (global-domain) computation — the
     ppermute transpose routes sender-state cotangents back correctly
-    (for both sharded model families)."""
+    (for all three sharded model families)."""
     from lagrangebench_tpu.models import PaiNN
     from lagrangebench_tpu.parallel.spatial import (
         build_spatial_gns_train_step,
@@ -285,6 +285,22 @@ def test_spatial_train_step_matches_single_device(model_name):
     if model_name == "gns":
         model = GNS(particle_dimension=dim, latent_size=latent,
                     num_mp_steps=mp_steps, compute_dtype="float64")
+    elif model_name == "segnn":
+        from lagrangebench_tpu.models.e3 import Irreps
+        from lagrangebench_tpu.models.segnn import (
+            SEGNN,
+            node_feature_irreps,
+        )
+
+        model = SEGNN(
+            node_features_irreps=node_feature_irreps(
+                metadata, isl, False, True, True
+            ),
+            edge_features_irreps=Irreps("1x1o + 1x0e"),
+            scalar_units=8, lmax_hidden=1, lmax_attributes=1,
+            output_irreps=Irreps("1x1o"), num_mp_steps=mp_steps,
+            n_vels=isl - 1, compute_dtype="float64",
+        )
     else:
         model = PaiNN(hidden_size=latent, output_size=1,
                       num_mp_steps=mp_steps, n_rbf=5, radius=1.5,
@@ -311,6 +327,7 @@ def test_spatial_train_step_matches_single_device(model_name):
             input_seq_length=isl, num_mp_steps=mp_steps, k_cap=k_cap,
             normalization_stats=stats, compute_dtype=jnp.float64,
             model=model_name,
+            model_def=model if model_name == "segnn" else None,
         )
         loss, grads, overflow = step(
             jax.tree.map(jnp.asarray, fp), jnp.asarray(pos_sh),
@@ -329,15 +346,107 @@ def test_spatial_train_step_matches_single_device(model_name):
         for k, v in jax.tree_util.tree_leaves_with_path(g8)
     )
     assert flat1 and len(flat1) == len(flat8)
+    # the steerable stack's per-part reductions reorder f64 sums more than
+    # the GNS/PaiNN mirrors (worst observed 8-dev-vs-1-dev grad deltas:
+    # rel ~2e-7 on ~1e-2-scale entries, abs ~4e-12 on ~1e-7 entries; the
+    # loss itself matches to 1e-16)
+    rtol, atol = (1e-6, 1e-10) if model_name == "segnn" else (1e-7, 1e-12)
     some_nonzero = False
     for k, v1 in flat1:
         v8 = flat8[jax.tree_util.keystr(k)]
         np.testing.assert_allclose(
-            v8, v1, rtol=1e-7, atol=1e-12,
+            v8, v1, rtol=rtol, atol=atol,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
         )
         some_nonzero = some_nonzero or np.abs(v1).max() > 0
     assert some_nonzero
+
+
+def test_spatial_segnn_forward_matches_unsharded():
+    """Spatially-sharded SEGNN == the unsharded flax model: the steerable
+    stack runs on its own parameter subtrees over the slab geometry, with
+    per-m-part halo exchange of the node IrrepsArray per MP step."""
+    from lagrangebench_tpu.models.e3 import Irreps
+    from lagrangebench_tpu.models.segnn import SEGNN, node_feature_irreps
+    from lagrangebench_tpu.parallel.spatial import (
+        build_spatial_segnn_forward,
+    )
+
+    n, dim, isl = 1024, 3, 4
+    box, cutoff = 1.0, 0.09
+    mp_steps, latent = 2, 8
+
+    rng = np.random.default_rng(11)
+    base = rng.uniform(0, box, size=(n, 1, dim))
+    vel = rng.normal(0, 2e-3, size=(n, 1, dim))
+    pos = np.mod(base + vel * np.arange(isl)[None, :, None], box)
+    ptype = np.zeros(n, dtype=np.int32)
+
+    metadata = {
+        "dim": dim, "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "bounds": [[0.0, box]] * dim,
+        "default_connectivity_radius": cutoff,
+        "vel_mean": [0.0] * dim, "vel_std": [1e-3] * dim,
+        "acc_mean": [0.0] * dim, "acc_std": [1e-4] * dim,
+    }
+    case = case_builder(
+        box=[box] * dim, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=0.0, dtype=jnp.float64,
+        cfg_model={"magnitude_features": True},
+    )
+    node_irreps = node_feature_irreps(metadata, isl, False, True, True)
+    model = SEGNN(
+        node_features_irreps=node_irreps,
+        edge_features_irreps=Irreps("1x1o + 1x0e"),
+        scalar_units=latent, lmax_hidden=1, lmax_attributes=1,
+        output_irreps=Irreps("1x1o"), num_mp_steps=mp_steps,
+        n_vels=isl - 1, compute_dtype="float64",
+    )
+    init, apply = make_model_fns(model)
+    features, nbrs = case.allocate_eval((pos, ptype))
+    params, _ = init(jax.random.PRNGKey(4), (features, ptype))
+
+    def to_f64(x):
+        x = np.asarray(x)
+        return (
+            jnp.asarray(x, jnp.float64)
+            if x.dtype.kind == "f" else jnp.asarray(x)
+        )
+
+    params64 = jax.tree.map(to_f64, params)
+    features64 = jax.tree.map(to_f64, features)
+    out_ref, _ = apply(params64, {}, (features64, jnp.asarray(ptype)))
+    acc_ref = np.asarray(out_ref["acc"])
+
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    pos_sh, ptype_sh, counts, order = spatial_partition(
+        pos, ptype, n_dev, box_x=box
+    )
+    k_cap = nbrs.idx.shape[1]
+    fwd = build_spatial_segnn_forward(
+        mesh, params64, model,
+        box=[box] * dim, cutoff=cutoff, input_seq_length=isl,
+        k_cap=k_cap, vel_mean=jnp.zeros(dim), vel_std=jnp.full(dim, 1e-3),
+        compute_dtype=jnp.float64,
+    )
+    acc_sh, overflow = fwd(
+        jnp.asarray(pos_sh, jnp.float64), jnp.asarray(ptype_sh),
+        jnp.asarray(counts)[:, None],
+    )
+    assert not bool(overflow)
+
+    acc_sh = np.asarray(acc_sh)
+    got = np.zeros_like(acc_ref)
+    start = 0
+    for d in range(n_dev):
+        c = int(counts[d])
+        got[order[start : start + c]] = acc_sh[d, :c]
+        start += c
+    np.testing.assert_allclose(got, acc_ref, rtol=1e-9, atol=1e-10)
 
 
 def test_spatial_dp2d_train_step_matches_single_device():
