@@ -56,18 +56,29 @@ class EGNNLayer(nn.Module):
         receivers: jnp.ndarray,
         edge_attribute: Optional[jnp.ndarray] = None,
         node_attribute: Optional[jnp.ndarray] = None,
+        sender_h: Optional[jnp.ndarray] = None,
+        sender_pos: Optional[jnp.ndarray] = None,
+        edge_mask: Optional[jnp.ndarray] = None,
+        sender_scatter_fn: Optional[Callable] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``sender_h``/``sender_pos``/``edge_mask``/``sender_scatter_fn``
+        serve the spatially-sharded path (parallel/spatial.py): senders
+        index halo-extended candidate arrays, edge validity comes from an
+        explicit mask, and the sender-directed position scatter routes
+        halo contributions back to their owners."""
         n = h.shape[0]
+        h_src = h if sender_h is None else sender_h
+        pos_src = pos if sender_pos is None else sender_pos
 
         # radial geometry at the current (intra-layer) positions; shapes are
         # (E, dim) for sparse edges or (N, K, dim) for dense
-        coord_diff = self.displacement_fn(pos[senders], pos[receivers])
+        coord_diff = self.displacement_fn(pos_src[senders], pos[receivers])
         radial = jnp.sum(coord_diff**2, axis=-1, keepdims=True)
         if self.normalize:
             coord_diff = coord_diff / (jnp.sqrt(radial) + self.eps)
 
         # scalar messages
-        msg_in = [h[senders], h[receivers], radial]
+        msg_in = [h_src[senders], h[receivers], radial]
         if edge_attribute is not None:
             msg_in.append(edge_attribute)
         msg = MLPXav(
@@ -88,7 +99,7 @@ class EGNNLayer(nn.Module):
             msg = msg * att
 
         # node update from receiver-aggregated messages
-        agg = aggregate_to_receivers(msg, receivers, senders, n)
+        agg = aggregate_to_receivers(msg, receivers, senders, n, mask=edge_mask)
         upd_in = [h, agg]
         if node_attribute is not None:
             upd_in.append(node_attribute)
@@ -121,7 +132,12 @@ class EGNNLayer(nn.Module):
             return x
 
         trans = coord_diff * correction_head(msg, "pos").astype(pos.dtype)
-        pos_update = segment_sum(trans, senders, num_segments=n)
+        if edge_mask is not None:
+            trans = jnp.where(edge_mask[..., None], trans, 0.0)
+        scatter = sender_scatter_fn or (
+            lambda t, s: segment_sum(t, s, num_segments=n)
+        )
+        pos_update = scatter(trans, senders)
         pos = self.shift_fn(pos, pos_update)
         # velocity integration term
         pos = self.shift_fn(

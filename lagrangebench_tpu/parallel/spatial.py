@@ -25,11 +25,13 @@ Round-3 rework of the v1 proof-of-concept:
   (escalate caps) and ownership drift (re-partition at the current
   positions when ``2·max_drift + cutoff`` approaches the slab width);
 * reachable from the CLI: ``parallel.spatial: <n_devices>`` runs
-  spatially-sharded inference (runner.py) for GNS, PaiNN and SEGNN — the
-  slab geometry/NL/halo machinery (`_SpatialBase`) is model-agnostic:
-  GNS/PaiNN contribute functional forms over the shared fused-kernel
-  mirrors, SEGNN applies its flax submodules directly on their parameter
-  subtrees (halo-extended sender array + explicit edge mask);
+  spatially-sharded inference (runner.py) for every message-passing
+  family (GNS, PaiNN, SEGNN, EGNN) — the slab geometry/NL/halo machinery
+  (`_SpatialBase`) is model-agnostic: GNS/PaiNN contribute functional
+  forms over the shared fused-kernel mirrors, SEGNN/EGNN apply their flax
+  submodules directly on their parameter subtrees (halo-extended sender
+  arrays + explicit edge masks; EGNN additionally reverse-halos its
+  sender-directed position scatter);
 * TRAINING through the halo exchange (`build_spatial_gns_train_step`):
   per-device grads of the global masked-MSE loss — sender-state
   cotangents return home via the ``ppermute`` transpose — assembled with
@@ -672,6 +674,167 @@ class _SpatialSEGNN(_SpatialBase):
         return acc.astype(self.pos_dtype), nl_overflow
 
 
+class _SpatialEGNN(_SpatialBase):
+    """EGNN over the shared slab geometry.
+
+    Like SEGNN, the math is the actual flax module: ``EGNNLayer`` runs on
+    its parameter subtrees with halo-extended sender arrays. Two EGNN
+    specifics: positions update per layer, so the halo carries the
+    accumulated position DELTA (frame-invariant — halo x-coordinates
+    come from the layer-0 candidate frame plus the neighbor's deltas);
+    and the position correction scatters to SENDERS, so halo-segment
+    contributions return to their owners via the reverse ring permutes
+    (the transpose of the forward halo).
+    """
+
+    def __init__(
+        self, mesh, params, *, model_def, box, cutoff, input_seq_length,
+        k_cap, cell_cap, vel_mean, vel_std, acc_mean=None, acc_std=None,
+        compute_dtype=jnp.float32, axis_name: str = DATA_AXIS,
+        num_particle_types=9, num_mp_steps=None,
+    ):
+        from ..models.egnn import EGNN
+
+        super().__init__(
+            mesh, box=box, cutoff=cutoff, input_seq_length=input_seq_length,
+            k_cap=k_cap, cell_cap=cell_cap, vel_mean=vel_mean,
+            vel_std=vel_std, acc_mean=acc_mean, acc_std=acc_std,
+            num_particle_types=num_particle_types,
+            compute_dtype=compute_dtype, axis_name=axis_name,
+        )
+        assert isinstance(model_def, EGNN), (
+            "spatial EGNN needs the flax EGNN module as model_def"
+        )
+        assert model_def.homogeneous_particles, (
+            "spatial EGNN supports homogeneous particles"
+        )
+        self.m = model_def
+        self.fp = jax.tree.map(jnp.asarray, params)
+
+    def _reverse_halo(self, buckets, n_loc):
+        """(n_cand, ...) sender-bucketed sums -> (N_loc, ...) owner sums:
+        segment 1 came FROM the left neighbor (shipped by ``_left``), so
+        its accumulated contributions return with ``_right``, and vice
+        versa."""
+        if self.n_dev >= 3:
+            return (
+                buckets[:n_loc]
+                + self._right(buckets[n_loc : 2 * n_loc])
+                + self._left(buckets[2 * n_loc :])
+            )
+        if self.n_dev == 2:
+            return buckets[:n_loc] + self._right(buckets[n_loc:])
+        return buckets
+
+    def _forward(self, pos, ptype, count, d_idx, fp=None):
+        from flax import linen as nn
+
+        from ..models.egnn import EGNNLayer
+        from ..models.utils import matmul_precision
+
+        m = self.m
+        fp = self.fp if fp is None else fp
+        n_loc = pos.shape[0]
+        isl = self.isl
+        dim = pos.shape[-1]
+        most_recent = pos[:, isl - 1].astype(self.pos_dtype)
+        recv_valid = jnp.arange(n_loc, dtype=jnp.int32) < count
+
+        recv_pos, cand_pos, cand_valid = self._candidates(
+            most_recent, count, d_idx
+        )
+        senders, edge_valid, nl_overflow = _local_cell_nl(
+            recv_pos, recv_valid, cand_pos, cand_valid, self.grid,
+            self.cell_cap, self.k_cap, self.cutoff,
+        )
+        n_cand = cand_pos.shape[0]
+        safe_senders = jnp.minimum(senders, n_cand - 1)
+        receivers2d = jax.lax.broadcasted_iota(
+            jnp.int32, safe_senders.shape, 0
+        )
+
+        # local-frame displacement: plain difference on x (pre-shifted
+        # copies), min-image on the periodic axes — the NL's convention
+        pbc_l = jnp.asarray(self.grid.pbc)
+        box_l = jnp.asarray(
+            [self.grid.cell_size[d] * self.grid.cells_per_side[d]
+             for d in range(len(self.grid.pbc))],
+            self.pos_dtype,
+        )
+
+        def disp_local(a, b):
+            d = a - b
+            return jnp.where(pbc_l, d - box_l * jnp.round(d / box_l), d)
+
+        def shift_local(p, dp):
+            # no wrap: deltas stay small within one forward and every
+            # consumer min-images differences
+            return p + dp
+
+        # features (contract of case/features.py)
+        dispg = lambda a, b: (
+            lambda d: d - self.box * jnp.round(d / self.box)
+        )(a - b)
+        vel = dispg(pos[:, 1:isl], pos[:, : isl - 1])
+        vel_n = ((vel - self.vel_mean) / self.vel_std).astype(self.pos_dtype)
+        diff0 = disp_local(
+            cand_pos[safe_senders], recv_pos[:, None, :]
+        )
+        rel_dist = jnp.where(
+            edge_valid[..., None],
+            jnp.sqrt(jnp.sum((diff0 / self.cutoff) ** 2, axis=-1,
+                             keepdims=True)),
+            0.0,
+        )
+
+        dtype = jnp.dtype(m.compute_dtype)
+        node_scalars = jnp.sqrt(jnp.sum(vel_n**2, axis=-1) + 1e-16)
+        h = nn.Dense(
+            m.hidden_size,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=dtype,
+            precision=matmul_precision(dtype),
+        ).apply({"params": fp["Dense_0"]}, node_scalars)
+
+        stats = m.velocity_stats
+        prev_vel = vel_n[:, -1] * stats["std"] + stats["mean"]
+
+        layer_mod = EGNNLayer(
+            hidden_size=m.hidden_size, output_size=m.hidden_size,
+            displacement_fn=disp_local, shift_fn=shift_local,
+            act_fn=m.act_fn, residual=m.residual, attention=m.attention,
+            normalize=m.normalize, tanh=m.tanh,
+            dt=m.dt / m.num_mp_steps, dtype=dtype,
+        )
+
+        def sender_scatter(trans, snd):
+            flat = trans.reshape((-1,) + trans.shape[2:])
+            buckets = jax.ops.segment_sum(
+                flat, snd.reshape(-1), num_segments=n_cand
+            )
+            return self._reverse_halo(buckets, n_loc)
+
+        dpos = jnp.zeros_like(recv_pos)
+        for i in range(m.num_mp_steps):
+            h_ext = self._halo_concat(h)
+            pos_ext = cand_pos + self._halo_concat(dpos)
+            h, new_pos = layer_mod.apply(
+                {"params": fp[f"EGNNLayer_{i}"]},
+                h, recv_pos + dpos, prev_vel, safe_senders, receivers2d,
+                rel_dist, None,
+                sender_h=h_ext, sender_pos=pos_ext,
+                edge_mask=edge_valid, sender_scatter_fn=sender_scatter,
+            )
+            dpos = new_pos - recv_pos
+
+        # finite differences; the shared spatial scaffolding consumes
+        # NORMALIZED acceleration (rollout/integrate re-scale)
+        next_vel = dpos
+        acc = next_vel - prev_vel
+        acc_n = (acc - self.acc_mean) / self.acc_std
+        return acc_n.astype(self.pos_dtype), nl_overflow
+
+
 class _SpatialPaiNN(_SpatialBase):
     """PaiNN math over the shared slab geometry.
 
@@ -897,6 +1060,40 @@ def build_spatial_segnn_forward(
         input_seq_length=input_seq_length,
         k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap,
         vel_mean=vel_mean, vel_std=vel_std, compute_dtype=compute_dtype,
+    )
+
+    def local_forward(pos, ptype, count):
+        d_idx = jax.lax.axis_index(DATA_AXIS)
+        acc, overflow = core._forward(pos[0], ptype[0], count[0], d_idx)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), DATA_AXIS) > 0
+        return acc[None], overflow
+
+    batched, rep = P(DATA_AXIS), P()
+    sharded = shard_map(
+        local_forward, mesh=mesh,
+        in_specs=(batched, batched, batched),
+        out_specs=(batched, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def build_spatial_egnn_forward(
+    mesh, params, model_def, *, box, cutoff, input_seq_length, k_cap,
+    vel_mean, vel_std, acc_mean, acc_std, cell_cap: Optional[int] = None,
+    compute_dtype=jnp.float32,
+):
+    """Spatially-sharded EGNN forward over a 1D device mesh.
+
+    Same contract as :func:`build_spatial_gns_forward` but returns the
+    NORMALIZED acceleration (the flax EGNN emits physical pos/vel/acc;
+    the shared spatial scaffolding re-scales)."""
+    core = _SpatialEGNN(
+        mesh, params, model_def=model_def, box=box, cutoff=cutoff,
+        input_seq_length=input_seq_length,
+        k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap,
+        vel_mean=vel_mean, vel_std=vel_std, acc_mean=acc_mean,
+        acc_std=acc_std, compute_dtype=compute_dtype,
     )
 
     def local_forward(pos, ptype, count):
@@ -1145,8 +1342,13 @@ def _make_core(
             mesh, params, model_def=model_def,
             num_particle_types=num_particle_types, **common,
         )
+    if model == "egnn":
+        return _SpatialEGNN(
+            mesh, params, model_def=model_def,
+            num_particle_types=num_particle_types, **common,
+        )
     raise ValueError(
-        f"spatial sharding supports gns|painn|segnn, got {model}"
+        f"spatial sharding supports gns|painn|segnn|egnn, got {model}"
     )
 
 

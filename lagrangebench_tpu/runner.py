@@ -158,8 +158,8 @@ def train_or_infer(cfg: Config):
         if n_spatial > 1:
             # spatially-sharded inference (particle-axis slabs)
             model_name = cfg.model.name.lower()
-            assert model_name in ("gns", "painn", "segnn"), (
-                "parallel.spatial supports the GNS, PaiNN and SEGNN models"
+            assert model_name in ("gns", "painn", "segnn", "egnn"), (
+                "parallel.spatial supports gns|painn|segnn|egnn"
             )
             from .parallel.spatial import infer_spatial
 
@@ -170,7 +170,9 @@ def train_or_infer(cfg: Config):
                 cfg_eval_infer=cfg.eval.infer,
                 n_rollout_steps=cfg.eval.n_rollout_steps,
                 model=model_name,
-                model_def=model if model_name == "segnn" else None,
+                model_def=(
+                    model if model_name in ("segnn", "egnn") else None
+                ),
             )
             metrics = averaged_metrics(eval_metrics)
             print(metrics)

@@ -233,7 +233,7 @@ def test_spatial_rollout_matches_unsharded():
 import pytest
 
 
-@pytest.mark.parametrize("model_name", ["gns", "painn", "segnn"])
+@pytest.mark.parametrize("model_name", ["gns", "painn", "segnn", "egnn"])
 def test_spatial_train_step_matches_single_device(model_name):
     """Training through the halo exchange: loss and psum'd grads on an
     8-device mesh equal the 1-device (global-domain) computation — the
@@ -301,6 +301,18 @@ def test_spatial_train_step_matches_single_device(model_name):
             output_irreps=Irreps("1x1o"), num_mp_steps=mp_steps,
             n_vels=isl - 1, compute_dtype="float64",
         )
+    elif model_name == "egnn":
+        from lagrangebench_tpu.models.egnn import EGNN
+        from lagrangebench_tpu.ops import space
+
+        disp, shift = space.periodic(jnp.full(dim, box, jnp.float64))
+        model = EGNN(
+            hidden_size=latent, output_size=1, dt=0.01, n_vels=isl - 1,
+            displacement_fn=disp, shift_fn=shift,
+            velocity_stats={"mean": jnp.zeros(dim, jnp.float64),
+                            "std": jnp.full(dim, 1e-3, jnp.float64)},
+            num_mp_steps=mp_steps, compute_dtype="float64",
+        )
     else:
         model = PaiNN(hidden_size=latent, output_size=1,
                       num_mp_steps=mp_steps, n_rbf=5, radius=1.5,
@@ -327,7 +339,7 @@ def test_spatial_train_step_matches_single_device(model_name):
             input_seq_length=isl, num_mp_steps=mp_steps, k_cap=k_cap,
             normalization_stats=stats, compute_dtype=jnp.float64,
             model=model_name,
-            model_def=model if model_name == "segnn" else None,
+            model_def=model if model_name in ("segnn", "egnn") else None,
         )
         loss, grads, overflow = step(
             jax.tree.map(jnp.asarray, fp), jnp.asarray(pos_sh),
@@ -447,6 +459,94 @@ def test_spatial_segnn_forward_matches_unsharded():
         got[order[start : start + c]] = acc_sh[d, :c]
         start += c
     np.testing.assert_allclose(got, acc_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_spatial_egnn_forward_matches_unsharded():
+    """Spatially-sharded EGNN == the unsharded flax model: per-layer halo
+    of (h, position-delta) and the reverse-halo reduction of the
+    sender-directed position scatter."""
+    from lagrangebench_tpu.models.egnn import EGNN
+    from lagrangebench_tpu.ops import space
+    from lagrangebench_tpu.parallel.spatial import (
+        build_spatial_egnn_forward,
+    )
+
+    n, dim, isl = 1024, 3, 4
+    box, cutoff = 1.0, 0.09
+    mp_steps, latent = 2, 16
+
+    rng = np.random.default_rng(13)
+    base = rng.uniform(0, box, size=(n, 1, dim))
+    vel = rng.normal(0, 2e-3, size=(n, 1, dim))
+    pos = np.mod(base + vel * np.arange(isl)[None, :, None], box)
+    ptype = np.zeros(n, dtype=np.int32)
+
+    metadata = {
+        "dim": dim, "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "bounds": [[0.0, box]] * dim,
+        "default_connectivity_radius": cutoff,
+        "vel_mean": [0.0] * dim, "vel_std": [1e-3] * dim,
+        "acc_mean": [0.0] * dim, "acc_std": [1e-4] * dim,
+    }
+    case = case_builder(
+        box=[box] * dim, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=0.0, dtype=jnp.float64,
+    )
+    disp, shift = space.periodic(jnp.full(dim, box, jnp.float64))
+    vstats = {"mean": jnp.zeros(dim, jnp.float64),
+              "std": jnp.full(dim, 1e-3, jnp.float64)}
+    model = EGNN(
+        hidden_size=latent, output_size=1, dt=0.01, n_vels=isl - 1,
+        displacement_fn=disp, shift_fn=shift, velocity_stats=vstats,
+        num_mp_steps=mp_steps, compute_dtype="float64",
+    )
+    init, apply = make_model_fns(model)
+    features, nbrs = case.allocate_eval((pos, ptype))
+    params, _ = init(jax.random.PRNGKey(6), (features, ptype))
+
+    def to_f64(x):
+        x = np.asarray(x)
+        return (
+            jnp.asarray(x, jnp.float64)
+            if x.dtype.kind == "f" else jnp.asarray(x)
+        )
+
+    params64 = jax.tree.map(to_f64, params)
+    features64 = jax.tree.map(to_f64, features)
+    out_ref, _ = apply(params64, {}, (features64, jnp.asarray(ptype)))
+    # reference NORMALIZED acceleration, like the spatial core emits
+    acc_ref = (np.asarray(out_ref["acc"]) - 0.0) / 1e-4
+
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    pos_sh, ptype_sh, counts, order = spatial_partition(
+        pos, ptype, n_dev, box_x=box
+    )
+    k_cap = nbrs.idx.shape[1]
+    fwd = build_spatial_egnn_forward(
+        mesh, params64, model,
+        box=[box] * dim, cutoff=cutoff, input_seq_length=isl,
+        k_cap=k_cap, vel_mean=jnp.zeros(dim), vel_std=jnp.full(dim, 1e-3),
+        acc_mean=jnp.zeros(dim), acc_std=jnp.full(dim, 1e-4),
+        compute_dtype=jnp.float64,
+    )
+    acc_sh, overflow = fwd(
+        jnp.asarray(pos_sh, jnp.float64), jnp.asarray(ptype_sh),
+        jnp.asarray(counts)[:, None],
+    )
+    assert not bool(overflow)
+
+    acc_sh = np.asarray(acc_sh)
+    got = np.zeros_like(acc_ref)
+    start = 0
+    for d in range(n_dev):
+        c = int(counts[d])
+        got[order[start : start + c]] = acc_sh[d, :c]
+        start += c
+    np.testing.assert_allclose(got, acc_ref, rtol=1e-8, atol=1e-9)
 
 
 def test_spatial_dp2d_train_step_matches_single_device():
