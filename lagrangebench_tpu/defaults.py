@@ -150,7 +150,7 @@ def set_defaults() -> Config:
     cfg.parallel = Config()
     cfg.parallel.data = -1  # data-parallel mesh size; -1 = all local devices
     # spatial (particle-axis) sharding for inference: number of x-slabs /
-    # devices; 0 = off. GNS and PaiNN; see parallel/spatial.py
+    # devices; 0 = off. gns|painn|segnn|egnn; see parallel/spatial.py
     cfg.parallel.spatial = 0
 
     return cfg
