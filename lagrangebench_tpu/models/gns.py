@@ -306,3 +306,40 @@ def fused_params_from_standard(params: Dict, num_mp_steps: int) -> Dict:
     # decoder: the fused variant's only auto-named MLP after the node encoder
     out["MLP_1"] = params[f"MLP_{2 + 2 * num_mp_steps}"]
     return out
+
+
+def standard_params_from_fused(fp: Dict, num_mp_steps: int) -> Dict:
+    """Exact inverse of :func:`fused_params_from_standard` — re-layout a
+    fused-variant tree back to the standard (auto-named flax) layout, e.g.
+    to checkpoint spatially/fused-trained parameters interoperably."""
+    out = {k: fp[k] for k in ("Embed_0", "MLP_0") if k in fp}
+    latent = fp["MLP_0"]["Dense_1"]["kernel"].shape[1]
+    out["MLP_1"] = {
+        "Dense_0": {"kernel": fp["enc_w1"], "bias": fp["enc_b1"]},
+        "Dense_1": {"kernel": fp["enc_w2"], "bias": fp["enc_b2"]},
+        "LayerNorm_0": {"scale": fp["enc_ln_scale"],
+                        "bias": fp["enc_ln_bias"]},
+    }
+    for i in range(num_mp_steps):
+        out[f"Dense_{3 * i}"] = {"kernel": fp[f"mp{i}_w_s"]}
+        out[f"Dense_{3 * i + 1}"] = {"kernel": fp[f"mp{i}_w_r"]}
+        out[f"Dense_{3 * i + 2}"] = {
+            "kernel": fp[f"mp{i}_w_e"], "bias": fp[f"mp{i}_b1"]
+        }
+        out[f"MLP_{2 + 2 * i}"] = {
+            "Dense_0": {"kernel": fp[f"mp{i}_w2"], "bias": fp[f"mp{i}_b2"]},
+            "LayerNorm_0": {"scale": fp[f"mp{i}_ln1_scale"],
+                            "bias": fp[f"mp{i}_ln1_bias"]},
+        }
+        wn = jnp.concatenate(
+            [fp[f"mp{i}_w_nh"], fp[f"mp{i}_w_na"]], axis=0
+        )
+        assert wn.shape[0] == 2 * latent
+        out[f"MLP_{3 + 2 * i}"] = {
+            "Dense_0": {"kernel": wn, "bias": fp[f"mp{i}_bn1"]},
+            "Dense_1": {"kernel": fp[f"mp{i}_wn2"], "bias": fp[f"mp{i}_bn2"]},
+            "LayerNorm_0": {"scale": fp[f"mp{i}_ln2_scale"],
+                            "bias": fp[f"mp{i}_ln2_bias"]},
+        }
+    out[f"MLP_{2 + 2 * num_mp_steps}"] = fp["MLP_1"]
+    return out

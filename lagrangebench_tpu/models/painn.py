@@ -401,3 +401,23 @@ def painn_fused_params_from_standard(params, num_mp_steps: int):
         )
         out[f"PaiNNLayer_{i}"] = lyr
     return out
+
+
+def painn_standard_params_from_fused(fp, num_mp_steps: int):
+    """Exact inverse of :func:`painn_fused_params_from_standard`."""
+    out = {k: v for k, v in fp.items() if not k.startswith("PaiNNLayer")}
+    for i in range(num_mp_steps):
+        lyr = dict(fp[f"PaiNNLayer_{i}"])
+        out[f"filter_net_{i}"] = {
+            "Dense_0": {"kernel": lyr.pop("filt_w"),
+                        "bias": lyr.pop("filt_b")}
+        }
+        lyr["LinearXav_2"] = {"Dense_0": {"kernel": lyr.pop("vmix_w")}}
+        lyr["LinearXav_3"] = {
+            "Dense_0": {"kernel": lyr.pop("mix_w1"), "bias": lyr.pop("mix_b1")}
+        }
+        lyr["LinearXav_4"] = {
+            "Dense_0": {"kernel": lyr.pop("mix_w2"), "bias": lyr.pop("mix_b2")}
+        }
+        out[f"PaiNNLayer_{i}"] = lyr
+    return out

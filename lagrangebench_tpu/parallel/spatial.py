@@ -36,7 +36,11 @@ Round-3 rework of the v1 proof-of-concept:
   per-device grads of the global masked-MSE loss — sender-state
   cotangents return home via the ``ppermute`` transpose — assembled with
   one psum over the replicated parameters; 8-device grads match the
-  1-device computation exactly (tests/test_spatial.py).
+  1-device computation exactly (tests/test_spatial.py). The full loop is
+  CLI-reachable: ``mode=train parallel.spatial: N`` runs
+  :func:`train_spatial` (2D ``(data, space)`` mesh when
+  ``train.batch_size > 1``), writing STANDARD-layout checkpoints that
+  `infer`, `infer_spatial` and the reference exporter consume unchanged.
 
 Partitioning (``n_dev >= 3``): each device sees candidates from its own
 slab plus both neighbor slabs, placed in a LOCAL frame
@@ -393,6 +397,21 @@ class _SpatialGNS(_SpatialBase):
                 for i in range(num_mp_steps)
             ],
         }
+
+    @staticmethod
+    def unpack_params(packed: Dict) -> Dict:
+        """Inverse of :meth:`pack_params` down to the STANDARD flax layout
+        (for interoperable checkpoints of spatially-trained parameters)."""
+        from ..models.gns import standard_params_from_fused
+
+        fp = {"MLP_0": packed["node_enc"], "MLP_1": packed["decoder"]}
+        if packed["embed"] is not None:
+            fp["Embed_0"] = {"embedding": packed["embed"]}
+        fp.update(packed["enc"])
+        for i, step in enumerate(packed["steps"]):
+            for name, arr in step.items():
+                fp[f"mp{i}_{name}"] = arr
+        return standard_params_from_fused(fp, len(packed["steps"]))
 
     # ---- one forward pass ------------------------------------------------
     def _forward(self, pos, ptype, count, d_idx, fp=None):
@@ -904,6 +923,37 @@ class _SpatialPaiNN(_SpatialBase):
             "layers": layers,
             "gates": gates,
         }
+
+    @staticmethod
+    def unpack_params(packed: Dict) -> Dict:
+        """Inverse of :meth:`pack_params` down to the STANDARD flax layout
+        (for interoperable checkpoints of spatially-trained parameters)."""
+        from ..models.painn import painn_standard_params_from_fused
+
+        def lin(d):
+            out = {"kernel": d["kernel"]}
+            if d.get("bias") is not None:
+                out["bias"] = d["bias"]
+            return {"Dense_0": out}
+
+        fp = {
+            "GaussianRBF_0": {"widths": packed["rbf"]["widths"],
+                              "offset": packed["rbf"]["offset"]},
+            "LinearXav_0": lin(packed["s_emb"]),
+            "LinearXav_1": {"Dense_0": {"kernel": packed["v_emb"]}},
+        }
+        for i, lyr in enumerate(packed["layers"]):
+            fused = {"LinearXav_0": lin(lyr["ctx1"]),
+                     "LinearXav_1": lin(lyr["ctx2"])}
+            fused.update(lyr["kernel"])
+            fp[f"PaiNNLayer_{i}"] = fused
+        for i, g in enumerate(packed["gates"]):
+            fp[f"GatedEquivariantBlock_{i}"] = {
+                "LinearXav_0": {"Dense_0": {"kernel": g["vmix"]}},
+                "LinearXav_1": lin(g["g1"]),
+                "LinearXav_2": lin(g["g2"]),
+            }
+        return painn_standard_params_from_fused(fp, len(packed["layers"]))
 
     def _gate_block(self, s, v, gp, scalar_out: int):
         """GatedEquivariantBlock functional form (models/painn.py:59-94)."""
@@ -1524,6 +1574,222 @@ def spatial_rollout(
         cur = cur_new
         done += steps
     return out
+
+
+def _host_gns_noise(rng, pos, ptype, isl, noise_std, box):
+    """Host-side random-walk noise, same math as strats.add_gns_noise
+    (velocity walk with last-step std ``noise_std``, zero on kinematic
+    particles, target frames shifted by the last input frame's noise).
+    Host numpy because the spatial path partitions on the host anyway."""
+    if noise_std <= 0:
+        return pos
+    n, t, dim = pos.shape
+    nvel = isl - 1
+    vel_noise = rng.normal(size=(n, nvel, dim)) * (noise_std / nvel**0.5)
+    vel_walk = np.cumsum(vel_noise, axis=1)
+    pos_noise = np.concatenate(
+        [np.zeros((n, 1, dim)), np.cumsum(vel_walk, axis=1)], axis=1
+    )
+    kin = (ptype == 1) | (ptype == 2) | (ptype == -1)
+    pos_noise[kin] = 0.0
+    full = np.concatenate(
+        [pos_noise, np.repeat(pos_noise[:, -1:], t - isl, axis=1)], axis=1
+    )
+    return np.mod(pos + full, np.asarray(box))
+
+
+_UNPACKERS = {
+    "gns": lambda fp: _SpatialGNS.unpack_params(fp),
+    "painn": lambda fp: _SpatialPaiNN.unpack_params(fp),
+    "segnn": lambda fp: fp,
+    "egnn": lambda fp: fp,
+}
+
+
+def train_spatial(
+    params,
+    case,
+    data_train,
+    data_valid,
+    *,
+    n_devices: int,
+    model: str,
+    num_mp_steps: int,
+    cfg_train,
+    cfg_eval,
+    cfg_logging,
+    input_seq_length: int,
+    metadata,
+    model_def=None,
+    seed: int = 0,
+    step_max: Optional[int] = None,
+    store_ckp: Optional[str] = None,
+    compute_dtype=jnp.float32,
+    multiplier: float = 1.25,
+):
+    """Spatially-sharded training (the ``parallel.spatial: N`` train mode).
+
+    Every optimizer step runs the halo-exchange train step over an
+    ``N``-slab ring; with ``train.batch_size > 1`` (and enough devices)
+    the batch shards over the rows of a 2D ``(data, space)`` mesh
+    (`build_spatial_train_step_dp`). Documented deltas vs the standard
+    Trainer: no pushforward unrolls (one-step acceleration loss only),
+    GNS noise applied host-side (same random-walk math — the spatial path
+    partitions on the host anyway), in-training eval reports the
+    validation LOSS instead of rollout metrics, and no mid-training
+    resume. Checkpoints are written in the STANDARD parameter layout, so
+    `infer`, `infer_spatial` and the reference-checkpoint exporter all
+    consume them unchanged.
+
+    Returns ``(standard_params, state, opt_state)``.
+    """
+    import optax
+
+    from ..data.loader import DataLoader, cycle
+    from .mesh import make_mesh, make_mesh_2d
+
+    isl = input_seq_length
+    bounds = np.asarray(metadata["bounds"], np.float64)
+    box = (bounds[:, 1] - bounds[:, 0]).tolist()
+    cutoff = float(metadata["default_connectivity_radius"])
+    batch = int(cfg_train.batch_size)
+    noise_std = float(cfg_train.noise_std)
+    step_max = int(step_max if step_max is not None else cfg_train.step_max)
+    rng = np.random.default_rng(seed)
+
+    n_avail = len(jax.devices())
+    if batch > 1:
+        assert batch * n_devices <= n_avail, (
+            f"spatial training with batch_size={batch} over {n_devices} "
+            f"slabs needs {batch * n_devices} devices, have {n_avail}"
+        )
+        mesh = make_mesh_2d(batch, n_devices)
+    else:
+        mesh = make_mesh(n_devices)
+
+    pos0, _ = data_train[0]
+    pos0 = np.asarray(pos0)
+    k_cap, cell_cap = spatial_caps(
+        pos0[:, isl - 1], box, cutoff, multiplier
+    )
+
+    def build(k_cap, cell_cap):
+        builder = (
+            build_spatial_train_step_dp if batch > 1
+            else build_spatial_gns_train_step
+        )
+        return builder(
+            mesh, params, box=box, cutoff=cutoff, input_seq_length=isl,
+            num_mp_steps=num_mp_steps, k_cap=k_cap, cell_cap=cell_cap,
+            normalization_stats=case.normalization_stats,
+            compute_dtype=compute_dtype, model=model, model_def=model_def,
+        )
+
+    step_fn, fp = build(k_cap, cell_cap)
+    fp = jax.tree.map(jnp.asarray, fp)
+
+    lr_scheduler = optax.exponential_decay(
+        init_value=float(cfg_train.optimizer.lr_start),
+        transition_steps=int(cfg_train.optimizer.lr_decay_steps),
+        decay_rate=float(cfg_train.optimizer.lr_decay_rate),
+        end_value=float(cfg_train.optimizer.lr_final),
+    )
+    opt_init, opt_update = optax.adamw(
+        learning_rate=lr_scheduler, weight_decay=1e-8
+    )
+    opt_state = opt_init(fp)
+
+    @jax.jit
+    def apply_update(fp, opt_state, grads):
+        updates, opt_state = opt_update(grads, opt_state, fp)
+        return optax.apply_updates(fp, updates), opt_state
+
+    def prepare(batch_samples):
+        """Noise + partition + pad a list of (pos, ptype) samples."""
+        parts = []
+        for pos, ptype in batch_samples:
+            pos = np.asarray(pos)[:, : isl + 1]
+            ptype = np.asarray(ptype)
+            pos = _host_gns_noise(rng, pos, ptype, isl, noise_std, box)
+            parts.append(spatial_partition(pos, ptype, n_devices, box[0]))
+        n_loc = max(p[0].shape[1] for p in parts)
+
+        def pad(a, fill=0):
+            width = [(0, 0)] * a.ndim
+            width[1] = (0, n_loc - a.shape[1])
+            return np.pad(a, width, constant_values=fill)
+
+        pos_b = np.stack([pad(p[0]) for p in parts])
+        ptype_b = np.stack([pad(p[1], fill=-1) for p in parts])
+        counts_b = np.stack([p[2] for p in parts])
+        if batch == 1:
+            return pos_b[0], ptype_b[0], counts_b[0]
+        return pos_b, ptype_b, counts_b
+
+    loader = cycle(
+        DataLoader(data_train, batch_size=batch, shuffle=True, rng=rng)
+    )
+    loader_valid = DataLoader(
+        data_valid, batch_size=batch, rng=np.random.default_rng(seed + 1)
+    )
+
+    log_steps = int(cfg_logging.log_steps)
+    eval_steps = int(cfg_logging.eval_steps)
+    best_loss = None
+    state = {}
+    step = 0
+    retries = 0
+    while step < step_max:
+        raw = next(loader)
+        samples = list(zip(np.asarray(raw[0]), np.asarray(raw[1]))) if (
+            batch > 1
+        ) else [(raw[0][0], raw[1][0])]
+        pos_b, ptype_b, counts_b = prepare(samples)
+        loss, grads, overflow = step_fn(
+            fp, jnp.asarray(pos_b), jnp.asarray(ptype_b),
+            jnp.asarray(counts_b),
+        )
+        if bool(overflow):
+            retries += 1
+            assert retries <= 8, "spatial training: capacity escalation failed"
+            k_cap = -(-int(k_cap * 1.5) // 8) * 8
+            cell_cap = -(-int(cell_cap * 1.5) // 8) * 8
+            step_fn, _ = build(k_cap, cell_cap)
+            continue  # discard this update, retry the next batch
+        retries = 0
+        fp, opt_state = apply_update(fp, opt_state, grads)
+
+        if step % log_steps == 0:
+            print(f"{step}, train/loss: {float(loss):.5f}.")
+        if (step % eval_steps == 0 and step > 0) or step == step_max - 1:
+            val_batch = next(iter(loader_valid))
+            vsamples = list(
+                zip(np.asarray(val_batch[0]), np.asarray(val_batch[1]))
+            ) if batch > 1 else [(val_batch[0][0], val_batch[1][0])]
+            vpos, vptype, vcounts = prepare(vsamples)
+            vloss, _, _ = step_fn(
+                fp, jnp.asarray(vpos), jnp.asarray(vptype),
+                jnp.asarray(vcounts),
+            )
+            vloss = float(vloss)
+            print(f"{step}, val/loss: {vloss:.6f}.")
+            if store_ckp is not None:
+                from ..checkpoint import save_checkpoint
+
+                std_params = jax.tree.map(
+                    np.asarray, _UNPACKERS[model](jax.device_get(fp))
+                )
+                save_checkpoint(
+                    store_ckp, std_params, state, None,
+                    {"step": step, "loss": vloss},
+                )
+            best_loss = vloss if best_loss is None else min(best_loss, vloss)
+        step += 1
+
+    std_params = jax.tree.map(
+        np.asarray, _UNPACKERS[model](jax.device_get(fp))
+    )
+    return std_params, state, opt_state
 
 
 def infer_spatial(

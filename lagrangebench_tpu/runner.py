@@ -117,23 +117,56 @@ def train_or_infer(cfg: Config):
         os.makedirs(store_ckp, exist_ok=True)
         save_yaml(cfg, os.path.join(store_ckp, "config.yaml"))
 
-        trainer = Trainer(
-            (model_init, model_apply),
-            case,
-            data_train,
-            data_valid,
-            cfg_train=cfg.train,
-            cfg_eval=cfg.eval,
-            cfg_logging=cfg.logging,
-            input_seq_length=cfg.model.input_seq_length,
-            seed=cfg.seed,
-            mesh=mesh,
-        )
-        params, state, _ = trainer.train(
-            step_max=cfg.train.step_max,
-            load_ckp=old_model_dir,
-            store_ckp=store_ckp,
-        )
+        n_spatial_train = int(cfg.parallel.get("spatial", 0) or 0)
+        if n_spatial_train > 1:
+            # spatially-sharded training over an N-slab ring (2D
+            # (data, space) mesh when batch_size > 1); standard-layout
+            # checkpoints, so infer/export consume them unchanged
+            from .parallel.spatial import train_spatial
+
+            model_name = cfg.model.name.lower()
+            assert model_name in ("gns", "painn", "segnn", "egnn"), (
+                "parallel.spatial supports gns|painn|segnn|egnn"
+            )
+            key = jax.random.PRNGKey(cfg.seed)
+            pos0, ptype0 = data_train[0]
+            key, features0, _, _ = case.allocate(
+                key, (jnp.asarray(pos0), jnp.asarray(ptype0))
+            )
+            params0, _ = model_init(key, (features0, jnp.asarray(ptype0)))
+            params, state, _ = train_spatial(
+                params0, case, data_train, data_valid,
+                n_devices=n_spatial_train,
+                model=model_name,
+                num_mp_steps=cfg.model.num_mp_steps,
+                cfg_train=cfg.train, cfg_eval=cfg.eval,
+                cfg_logging=cfg.logging,
+                input_seq_length=cfg.model.input_seq_length,
+                metadata=data_train.metadata,
+                model_def=(
+                    model if model_name in ("segnn", "egnn") else None
+                ),
+                seed=cfg.seed, step_max=cfg.train.step_max,
+                store_ckp=store_ckp,
+            )
+        else:
+            trainer = Trainer(
+                (model_init, model_apply),
+                case,
+                data_train,
+                data_valid,
+                cfg_train=cfg.train,
+                cfg_eval=cfg.eval,
+                cfg_logging=cfg.logging,
+                input_seq_length=cfg.model.input_seq_length,
+                seed=cfg.seed,
+                mesh=mesh,
+            )
+            params, state, _ = trainer.train(
+                step_max=cfg.train.step_max,
+                load_ckp=old_model_dir,
+                store_ckp=store_ckp,
+            )
         print(f"Training done; params: {get_num_params(params)}")
         old_model_dir = store_ckp
 

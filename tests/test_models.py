@@ -150,3 +150,71 @@ def test_painn_message_kernel_matches_mirror():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
         )
+
+
+def test_gns_fused_standard_roundtrip():
+    """standard -> fused -> standard is the identity (the spatial trainer
+    checkpoints through this inverse)."""
+    import jax
+    import numpy as np
+    from lagrangebench_tpu.models import GNS, make_model_fns
+    from lagrangebench_tpu.models.gns import (
+        fused_params_from_standard,
+        standard_params_from_fused,
+    )
+
+    n, e, dim, mp = 12, 40, 3, 3
+    model = GNS(particle_dimension=dim, latent_size=16, num_mp_steps=mp)
+    init, _ = make_model_fns(model)
+    feats = {
+        "vel_hist": jnp.zeros((n, 2 * dim)),
+        "rel_disp": jnp.zeros((e, dim)),
+        "rel_dist": jnp.zeros((e, 1)),
+        "senders": jnp.zeros((e,), jnp.int32),
+        "receivers": jnp.zeros((e,), jnp.int32),
+    }
+    params, _ = init(jax.random.PRNGKey(0), (feats, jnp.zeros((n,), jnp.int32)))
+    back = standard_params_from_fused(
+        fused_params_from_standard(params, mp), mp
+    )
+    fa = {str(p): np.asarray(x)
+          for p, x in jax.tree_util.tree_flatten_with_path(params)[0]}
+    fb = {str(p): np.asarray(x)
+          for p, x in jax.tree_util.tree_flatten_with_path(back)[0]}
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k])
+
+
+def test_painn_fused_standard_roundtrip():
+    import jax
+    import numpy as np
+    from lagrangebench_tpu.models import make_model_fns
+    from lagrangebench_tpu.models.painn import (
+        PaiNN,
+        painn_fused_params_from_standard,
+        painn_standard_params_from_fused,
+    )
+
+    n, e, dim, mp, nv = 12, 40, 3, 2, 3
+    model = PaiNN(hidden_size=16, output_size=1, num_mp_steps=mp,
+                  n_rbf=5, radius=1.5, n_vels=nv)
+    init, _ = make_model_fns(model)
+    feats = {
+        "vel_hist": jnp.zeros((n, nv * dim)),
+        "vel_mag": jnp.zeros((n, nv)),
+        "rel_disp": jnp.zeros((e, dim)),
+        "senders": jnp.zeros((e,), jnp.int32),
+        "receivers": jnp.zeros((e,), jnp.int32),
+    }
+    params, _ = init(jax.random.PRNGKey(1), (feats, jnp.zeros((n,), jnp.int32)))
+    back = painn_standard_params_from_fused(
+        painn_fused_params_from_standard(params, mp), mp
+    )
+    fa = {str(p): np.asarray(x)
+          for p, x in jax.tree_util.tree_flatten_with_path(params)[0]}
+    fb = {str(p): np.asarray(x)
+          for p, x in jax.tree_util.tree_flatten_with_path(back)[0]}
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k])
