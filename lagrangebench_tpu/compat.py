@@ -478,6 +478,18 @@ def save_reference_checkpoint(
         )
     import json
 
+    # fused-variant checkpoints (model.fused_processor / use_fused_layer)
+    # re-layout to the standard naming first — exact inverses
+    mp_steps = int(cfg_model.get("num_mp_steps", 0) or 0)
+    if model_name == "gns" and any(str(k).startswith("mp0_") for k in params):
+        from .models.gns import standard_params_from_fused
+
+        params = standard_params_from_fused(params, mp_steps)
+    if model_name == "painn" and "filt_w" in params.get("PaiNNLayer_0", {}):
+        from .models.painn import painn_standard_params_from_fused
+
+        params = painn_standard_params_from_fused(params, mp_steps)
+
     os.makedirs(ckp_dir, exist_ok=True)
     hk_params = _EXPORTERS[model_name](params, cfg_model)
     _save_pytree_reference(ckp_dir, hk_params, "params")

@@ -374,10 +374,12 @@ class _SpatialGNS(_SpatialBase):
         self.num_mp_steps = num_mp_steps
         # the fused flat layout IS the parity-tested functional form of the
         # standard flax GNS tree (models/gns.py, ops/fused_mp.py);
-        # checkpoint-loaded numpy leaves become device arrays here
-        fp = jax.tree.map(
-            jnp.asarray, fused_params_from_standard(params, num_mp_steps)
-        )
+        # checkpoint-loaded numpy leaves become device arrays here.
+        # Fused-layout trees (configs with model.fused_processor: true
+        # checkpoint in this naming) pass through unchanged.
+        if not any(str(k).startswith("mp0_") for k in params):
+            params = fused_params_from_standard(params, num_mp_steps)
+        fp = jax.tree.map(jnp.asarray, params)
         self.fp = self.pack_params(fp, num_mp_steps)
 
     @staticmethod
@@ -1655,15 +1657,32 @@ def train_spatial(
     batch = int(cfg_train.batch_size)
     noise_std = float(cfg_train.noise_std)
     step_max = int(step_max if step_max is not None else cfg_train.step_max)
-    rng = np.random.default_rng(seed)
+    lw = cfg_train.get("loss_weight", None) if hasattr(
+        cfg_train, "get"
+    ) else None
+    if lw is not None and (
+        float(lw.get("pos", 0)) != 0 or float(lw.get("vel", 0)) != 0
+    ):
+        print(
+            "WARNING: spatial training optimizes the acceleration MSE; "
+            "train.loss_weight pos/vel components are ignored."
+        )
+    # separate Generators: the loader shuffles in its prefetch thread,
+    # noise draws happen on the main thread — sharing one Generator would
+    # be thread-unsafe and scheduling-dependent
+    rng_noise = np.random.default_rng(seed)
+    rng_loader = np.random.default_rng(seed + 2)
 
     n_avail = len(jax.devices())
     if batch > 1:
-        assert batch * n_devices <= n_avail, (
-            f"spatial training with batch_size={batch} over {n_devices} "
-            f"slabs needs {batch * n_devices} devices, have {n_avail}"
-        )
-        mesh = make_mesh_2d(batch, n_devices)
+        # batch rows shard over the largest feasible data axis; the rest
+        # of the batch vmaps within each row (b_loc = batch // n_data)
+        n_data = 1
+        for d in range(min(batch, n_avail // n_devices), 0, -1):
+            if batch % d == 0:
+                n_data = d
+                break
+        mesh = make_mesh_2d(n_data, n_devices)
     else:
         mesh = make_mesh(n_devices)
 
@@ -1704,13 +1723,13 @@ def train_spatial(
         updates, opt_state = opt_update(grads, opt_state, fp)
         return optax.apply_updates(fp, updates), opt_state
 
-    def prepare(batch_samples):
+    def prepare(batch_samples, noise: float):
         """Noise + partition + pad a list of (pos, ptype) samples."""
         parts = []
         for pos, ptype in batch_samples:
             pos = np.asarray(pos)[:, : isl + 1]
             ptype = np.asarray(ptype)
-            pos = _host_gns_noise(rng, pos, ptype, isl, noise_std, box)
+            pos = _host_gns_noise(rng_noise, pos, ptype, isl, noise, box)
             parts.append(spatial_partition(pos, ptype, n_devices, box[0]))
         n_loc = max(p[0].shape[1] for p in parts)
 
@@ -1727,24 +1746,37 @@ def train_spatial(
         return pos_b, ptype_b, counts_b
 
     loader = cycle(
-        DataLoader(data_train, batch_size=batch, shuffle=True, rng=rng)
+        DataLoader(
+            data_train, batch_size=batch, shuffle=True, drop_last=True,
+            rng=rng_loader,
+        )
     )
-    loader_valid = DataLoader(
-        data_valid, batch_size=batch, rng=np.random.default_rng(seed + 1)
+    # ONE persistent validation iterator (a fresh iter() per eval would
+    # leak its blocked producer thread); drop_last keeps the mesh shape
+    assert len(data_valid) >= batch, (
+        f"data_valid has {len(data_valid)} samples; spatial training "
+        f"evaluates batches of {batch}"
     )
+    loader_valid = cycle(
+        DataLoader(
+            data_valid, batch_size=batch, drop_last=True,
+            rng=np.random.default_rng(seed + 1),
+        )
+    )
+
+    def split_batch(raw):
+        if batch > 1:
+            return list(zip(np.asarray(raw[0]), np.asarray(raw[1])))
+        return [(raw[0][0], raw[1][0])]
 
     log_steps = int(cfg_logging.log_steps)
     eval_steps = int(cfg_logging.eval_steps)
-    best_loss = None
     state = {}
     step = 0
     retries = 0
     while step < step_max:
-        raw = next(loader)
-        samples = list(zip(np.asarray(raw[0]), np.asarray(raw[1]))) if (
-            batch > 1
-        ) else [(raw[0][0], raw[1][0])]
-        pos_b, ptype_b, counts_b = prepare(samples)
+        pos_b, ptype_b, counts_b = prepare(split_batch(next(loader)),
+                                           noise_std)
         loss, grads, overflow = step_fn(
             fp, jnp.asarray(pos_b), jnp.asarray(ptype_b),
             jnp.asarray(counts_b),
@@ -1762,15 +1794,25 @@ def train_spatial(
         if step % log_steps == 0:
             print(f"{step}, train/loss: {float(loss):.5f}.")
         if (step % eval_steps == 0 and step > 0) or step == step_max - 1:
-            val_batch = next(iter(loader_valid))
-            vsamples = list(
-                zip(np.asarray(val_batch[0]), np.asarray(val_batch[1]))
-            ) if batch > 1 else [(val_batch[0][0], val_batch[1][0])]
-            vpos, vptype, vcounts = prepare(vsamples)
-            vloss, _, _ = step_fn(
-                fp, jnp.asarray(vpos), jnp.asarray(vptype),
-                jnp.asarray(vcounts),
+            # clean (noise-free) validation loss; on NL overflow escalate
+            # capacities and retry so a truncated graph is never recorded
+            vpos, vptype, vcounts = prepare(
+                split_batch(next(loader_valid)), 0.0
             )
+            for _ in range(8):
+                vloss, _, v_overflow = step_fn(
+                    fp, jnp.asarray(vpos), jnp.asarray(vptype),
+                    jnp.asarray(vcounts),
+                )
+                if not bool(v_overflow):
+                    break
+                k_cap = -(-int(k_cap * 1.5) // 8) * 8
+                cell_cap = -(-int(cell_cap * 1.5) // 8) * 8
+                step_fn, _ = build(k_cap, cell_cap)
+            else:
+                raise RuntimeError(
+                    "spatial training: validation capacity escalation failed"
+                )
             vloss = float(vloss)
             print(f"{step}, val/loss: {vloss:.6f}.")
             if store_ckp is not None:
@@ -1783,7 +1825,6 @@ def train_spatial(
                     store_ckp, std_params, state, None,
                     {"step": step, "loss": vloss},
                 )
-            best_loss = vloss if best_loss is None else min(best_loss, vloss)
         step += 1
 
     std_params = jax.tree.map(

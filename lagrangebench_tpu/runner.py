@@ -128,6 +128,10 @@ def train_or_infer(cfg: Config):
             assert model_name in ("gns", "painn", "segnn", "egnn"), (
                 "parallel.spatial supports gns|painn|segnn|egnn"
             )
+            assert old_model_dir is None, (
+                "spatial training does not support resuming from a "
+                "checkpoint (load_ckp); train standard or start fresh"
+            )
             key = jax.random.PRNGKey(cfg.seed)
             pos0, ptype0 = data_train[0]
             key, features0, _, _ = case.allocate(

@@ -508,6 +508,23 @@ def test_export_reference_checkpoint_on_disk(haiku_setup, tmp_path):
     _assert_pytrees_equal(params2, params)
 
 
+def test_export_accepts_fused_layout(haiku_setup, tmp_path):
+    """Checkpoints trained with model.fused_processor store fused-layout
+    GNS params; the exporter re-layouts them via the exact inverse before
+    the haiku mapping."""
+    from lagrangebench_tpu.models.gns import fused_params_from_standard
+
+    hk_params = haiku_setup[0]
+    std = haiku_gns_to_flax(hk_params, MP_STEPS)
+    fused = fused_params_from_standard(std, MP_STEPS)
+
+    ckp = str(tmp_path / "fused_export")
+    save_reference_checkpoint(
+        ckp, "gns", fused, {"num_mp_steps": MP_STEPS}
+    )
+    _assert_pytrees_equal(load_haiku_pytree(ckp, "params"), hk_params)
+
+
 def test_linear_export_roundtrip():
     flax_p = {"Dense_0": {"kernel": np.ones((7, 3), np.float32),
                           "bias": np.zeros((3,), np.float32)}}
