@@ -831,3 +831,75 @@ def test_spatial_painn_rollout_8dev_matches_1dev():
             compute_dtype=jnp.float64, model="painn",
         )
     np.testing.assert_allclose(outs[8], outs[1], rtol=1e-7, atol=1e-9)
+
+
+def test_train_spatial_loop_smoke():
+    """The CLI spatial-training loop: a few optimizer steps on a 2x4
+    (data, space) mesh reduce the loss, produce standard-layout
+    checkpoints (with a best/ shadow), and the returned params drive the
+    standard model."""
+    import os
+    import tempfile
+
+    from lagrangebench_tpu.config import Config
+    from lagrangebench_tpu.data.synthetic import make_synthetic_dataset
+    from lagrangebench_tpu.data import H5Dataset
+    from lagrangebench_tpu.checkpoint import load_checkpoint
+    from lagrangebench_tpu.parallel.spatial import train_spatial
+
+    root = tempfile.mkdtemp()
+    path = make_synthetic_dataset(
+        root, n_particles=512, dim=3, box=1.0, seq_len_train=30,
+        seq_len_eval=20, n_trajs=2, name="TSP",
+    )
+    isl = 4
+    data_train = H5Dataset("train", dataset_path=path, input_seq_length=isl)
+    data_valid = H5Dataset("valid", dataset_path=path, input_seq_length=isl,
+                           extra_seq_length=8)
+    md = data_train.metadata
+
+    case = case_builder(
+        box=[1.0] * 3, metadata=md, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=3e-4,
+    )
+    model = GNS(particle_dimension=3, latent_size=16, num_mp_steps=2)
+    init, apply = make_model_fns(model)
+    pos0, ptype0 = data_train[0]
+    features, _ = case.allocate_eval(
+        (np.asarray(pos0)[:, :isl], np.asarray(ptype0))
+    )
+    params0, _ = init(jax.random.PRNGKey(0), (features, np.asarray(ptype0)))
+
+    cfg_train = Config()
+    cfg_train.batch_size = 2
+    cfg_train.noise_std = 3e-4
+    cfg_train.step_max = 4
+    cfg_train.optimizer = Config()
+    cfg_train.optimizer.lr_start = 1e-3
+    cfg_train.optimizer.lr_decay_steps = 1000
+    cfg_train.optimizer.lr_decay_rate = 0.1
+    cfg_train.optimizer.lr_final = 1e-6
+    cfg_logging = Config()
+    cfg_logging.log_steps = 1
+    cfg_logging.eval_steps = 2
+
+    ckp = os.path.join(root, "ckp")
+    std_params, state, _ = train_spatial(
+        params0, case, data_train, data_valid,
+        n_devices=4, model="gns", num_mp_steps=2,
+        cfg_train=cfg_train, cfg_eval=None, cfg_logging=cfg_logging,
+        input_seq_length=isl, metadata=md, seed=0, store_ckp=ckp,
+    )
+
+    # standard layout: loadable and consumable by the standard model
+    loaded, _, _, step = load_checkpoint(ckp)
+    assert step == 3
+    assert os.path.exists(os.path.join(ckp, "best", "metadata_ckp.json"))
+    out, _ = apply(std_params, {}, (features, jnp.asarray(ptype0)))
+    assert np.isfinite(np.asarray(out["acc"])).all()
+    # trained params differ from the init (an update actually happened)
+    k0 = np.asarray(params0["MLP_0"]["Dense_0"]["kernel"])
+    k1 = np.asarray(std_params["MLP_0"]["Dense_0"]["kernel"])
+    assert np.abs(k1 - k0).max() > 0
