@@ -265,3 +265,35 @@ def test_tensor_product_attrs_lmax2_equivariance():
     out_then_rot = _rotate(irreps_out, apply(x, y), R)
     rot_then_out = apply(_rotate(irreps_x, x, R), _rotate(irreps_y, y, R))
     np.testing.assert_allclose(rot_then_out, out_then_rot, atol=3e-5)
+
+
+def test_tensor_product_attrs_lmax3_equivariance():
+    """lmax=3 attributes and l=3 outputs: the general-lmax claim holds one
+    degree past every shipped config (SEGNN presets use lmax<=2)."""
+    irreps_x = Irreps("2x0e + 2x1o + 1x2e + 1x3o")
+    irreps_y = Irreps.spherical_harmonics(3)
+    irreps_out = Irreps("2x0e + 2x1o + 1x2e + 1x3o")
+
+    mod = O3TensorProduct(irreps_out)
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(5, irreps_x.dim)).astype(np.float32)
+    y = rng.normal(size=(5, irreps_y.dim)).astype(np.float32)
+    params = mod.init(
+        jax.random.PRNGKey(2),
+        IrrepsArray(irreps_x, jnp.asarray(x)),
+        IrrepsArray(irreps_y, jnp.asarray(y)),
+    )
+
+    def apply(xa, ya):
+        return np.asarray(
+            mod.apply(
+                params,
+                IrrepsArray(irreps_x, jnp.asarray(xa)),
+                IrrepsArray(irreps_y, jnp.asarray(ya)),
+            ).array
+        )
+
+    R = random_rotation(5)
+    out_then_rot = _rotate(irreps_out, apply(x, y), R)
+    rot_then_out = apply(_rotate(irreps_x, x, R), _rotate(irreps_y, y, R))
+    np.testing.assert_allclose(rot_then_out, out_then_rot, atol=5e-5)
