@@ -1618,7 +1618,6 @@ def train_spatial(
     model: str,
     num_mp_steps: int,
     cfg_train,
-    cfg_eval,
     cfg_logging,
     input_seq_length: int,
     metadata,

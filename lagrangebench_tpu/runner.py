@@ -143,7 +143,7 @@ def train_or_infer(cfg: Config):
                 n_devices=n_spatial_train,
                 model=model_name,
                 num_mp_steps=cfg.model.num_mp_steps,
-                cfg_train=cfg.train, cfg_eval=cfg.eval,
+                cfg_train=cfg.train,
                 cfg_logging=cfg.logging,
                 input_seq_length=cfg.model.input_seq_length,
                 metadata=data_train.metadata,

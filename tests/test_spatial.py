@@ -889,7 +889,7 @@ def test_train_spatial_loop_smoke():
     std_params, state, _ = train_spatial(
         params0, case, data_train, data_valid,
         n_devices=4, model="gns", num_mp_steps=2,
-        cfg_train=cfg_train, cfg_eval=None, cfg_logging=cfg_logging,
+        cfg_train=cfg_train, cfg_logging=cfg_logging,
         input_seq_length=isl, metadata=md, seed=0, store_ckp=ckp,
     )
 
