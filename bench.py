@@ -37,17 +37,26 @@ def run_bench(
     rises from 19 to 21+ as the rollout evolves (tighter caps trip the
     escalation retry and land on LARGER buffers).
 
-    ``n_steps`` (env ``BENCH_STEPS``, default 200) is the scan length of
-    ONE rollout call. On remote-attached runtimes each dispatched call
-    chain pays one host<->device round trip (~28 ms measured on the axon
-    tunnel — scripts/experiments/rtt_probe.py); the reported
-    ms/rollout-step amortizes it over ``n_repeats * n_steps`` steps, so
-    short horizons overstate the per-step cost (50 steps x 3 repeats
-    folded ~0.19 ms/step of pure network RTT into round-2 numbers)."""
+    ``n_steps`` (env ``BENCH_STEPS``, default 50) is the scan length of
+    ONE rollout call; ``BENCH_REPEATS`` (default 12) rollout calls are
+    dispatched as one non-blocking chain with a single final
+    ``block_until_ready``. On remote-attached runtimes a blocking chain
+    pays one host<->device round trip (~28 ms measured on the axon
+    tunnel — scripts/experiments/rtt_probe.py) REGARDLESS of how many
+    calls pipeline into it, so the reported ms/rollout-step amortizes the
+    RTT over ``n_repeats * n_steps`` steps (600 by default: ~0.05 ms/step
+    of RTT; round-2 numbers blocked per 50x3 chain and folded ~0.19 ms).
+
+    The horizon is deliberately SHORT per call: every repeat restarts
+    from the same initial state, so the system stays at the nominal
+    RPF-like density being benchmarked. The model here is random-init;
+    unrolling it for hundreds of steps random-walks particles into
+    clusters, inflating the max neighbor count (>40 at 200 steps vs 21
+    at 50) — that measures an artifact, not the workload."""
     import os as _os
 
     if n_steps is None:
-        n_steps = int(_os.environ.get("BENCH_STEPS", "200"))
+        n_steps = int(_os.environ.get("BENCH_STEPS", "50"))
     import jax as _jax
 
     if backend == "pallas" and _jax.default_backend() != "tpu":
@@ -154,7 +163,7 @@ def run_bench(
         neighbors_b = broadcast(neighbors)
     jax.block_until_ready(cur_w)
 
-    n_repeats = 3
+    n_repeats = int(_os.environ.get("BENCH_REPEATS", "12"))
     t0 = time.perf_counter()
     for _ in range(n_repeats):
         cur_w, nbrs_w = rollout(params, current, ptype_j, neighbors_b)
