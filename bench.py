@@ -96,20 +96,17 @@ def run_bench(
         return cur, nbrs
 
     if batch_size > 1:
-        # production batching: vmapped preprocess, model on the disjoint
-        # super-graph (vmapped GNN gathers lower poorly — ops/batching.py)
-        from lagrangebench_tpu.ops.batching import (
-            flatten_graph_batch,
-            unflatten_nodes,
-        )
+        # production batching: flat super-graph preprocess + model
+        # (vmapped gathers lower poorly — ops/batching.py)
+        from lagrangebench_tpu.ops.batching import unflatten_nodes
 
-        preprocess_vmap = jax.vmap(case.preprocess_eval, in_axes=(0, 0))
         integrate_vmap = jax.vmap(case.integrate, in_axes=(0, 0))
 
         def step(params_, cur, ptype_, nbrs):
-            features, nbrs = preprocess_vmap((cur, ptype_), nbrs)
-            flat_f, flat_t = flatten_graph_batch(features, ptype_)
-            out_flat, _ = apply_fn(params_, {}, (flat_f, flat_t))
+            flat_f, nbrs = case.preprocess_eval_batched((cur, ptype_), nbrs)
+            out_flat, _ = apply_fn(
+                params_, {}, (flat_f, ptype_.reshape(-1))
+            )
             out = {
                 k: unflatten_nodes(v, batch_size, n_particles)
                 for k, v in out_flat.items()

@@ -40,6 +40,10 @@ class CaseSetupFn(NamedTuple):
             targets).
         allocate_eval: host-side eval preprocess (no noise, no targets).
         preprocess_eval: jit-able eval preprocess.
+        preprocess_batched: train preprocess over a trajectory batch,
+            emitting FLAT super-graph features/targets (see
+            ``_preprocess_batched``).
+        preprocess_eval_batched: eval variant of the above.
         integrate: semi-implicit Euler step inverting output normalization.
         displacement: boundary-aware displacement function.
         shift: boundary-aware shift function.
@@ -50,6 +54,8 @@ class CaseSetupFn(NamedTuple):
     preprocess: Callable
     allocate_eval: Callable
     preprocess_eval: Callable
+    preprocess_batched: Callable
+    preprocess_eval_batched: Callable
     integrate: Callable
     displacement: Callable
     shift: Callable
@@ -165,6 +171,88 @@ def case_builder(
             return key, features, target_dict, neighbors
         return features, neighbors
 
+    def _preprocess_batched(sample, neighbors, mode: str = "train", **kwargs):
+        """Batched preprocess emitting FLAT super-graph features.
+
+        ``sample`` is ((B, N, T, dim) positions, (B, N) types); ``neighbors``
+        is a batched NeighborList. Noise and the neighbor update run
+        per-sample (vmapped — they are per-graph by nature), but the feature
+        transform and targets run ONCE on the (B*N)-row disjoint super-graph
+        with per-sample edge-index offsets: under vmap the sender-position
+        gather in the feature chain lowers as a batched-dims gather, ~9x
+        slower on TPU than the flat single-dimension gather (ops/batching.py
+        documents the same pathology for the model's gathers).
+
+        Returns features ready for a flat model apply (no
+        ``flatten_graph_batch`` needed); the returned NeighborList stays
+        BATCHED for per-sample capacity/overflow bookkeeping.
+        """
+        pos_input = jnp.asarray(sample[0], dtype=dtype)
+        particle_type = jnp.asarray(sample[1])
+        b, n = particle_type.shape
+
+        if mode == "train":
+            key = kwargs["key"]
+            noise_std_ = kwargs["noise_std"]
+            unroll_steps = kwargs["unroll_steps"]
+            if pos_input.shape[2] > 1:
+                key, pos_input = jax.vmap(
+                    lambda k, p, t: add_gns_noise(
+                        k, p, t, input_seq_length, noise_std_, shift_fn
+                    )
+                )(key, pos_input, particle_type)
+
+        most_recent = pos_input[:, :, input_seq_length - 1]
+        num_particles = (particle_type != -1).sum(axis=1)
+        neighbors = jax.vmap(
+            lambda p, np_, nb: nb.update(p, num_particles=np_)
+        )(most_recent, num_particles, neighbors)
+
+        pos_flat = pos_input.reshape((b * n,) + pos_input.shape[2:])
+        if neighbors.format == "dense":
+            # flat view of the dense (B, N, K) index matrix: sample s's
+            # rows offset by s*N; padded slots (fill == N) map to B*N
+            idx = neighbors.idx
+            off = (jnp.arange(b, dtype=idx.dtype) * n).reshape(b, 1, 1)
+            idx_flat = jnp.where(idx < n, idx + off, b * n).reshape(
+                b * n, idx.shape[-1]
+            )
+            flat_nbrs = nb.NeighborList(
+                idx=idx_flat,
+                did_buffer_overflow=jnp.any(neighbors.did_buffer_overflow),
+                update_fn=neighbors.update_fn,
+                format="dense",
+            )
+            features = feature_transform(
+                pos_flat[:, :input_seq_length], flat_nbrs
+            )
+        else:
+            # sparse/slot layouts: per-sample transform, then offset-flatten
+            from ..ops.batching import flatten_graph_batch
+
+            features_b = jax.vmap(
+                lambda p, nb_: feature_transform(p[:, :input_seq_length], nb_)
+            )(pos_input, neighbors)
+            features, _ = flatten_graph_batch(features_b, particle_type)
+
+        if mode == "train":
+            slice_begin = (0, input_seq_length - 2 + unroll_steps, 0)
+            slice_size = (pos_flat.shape[0], 3, pos_flat.shape[2])
+            target_dict = _compute_target(
+                jax.lax.dynamic_slice(pos_flat, slice_begin, slice_size)
+            )
+            return key, features, target_dict, neighbors
+        return features, neighbors
+
+    def preprocess_batched_fn(key, sample, noise_std_, neighbors, unroll_steps=0):
+        return _preprocess_batched(
+            sample, neighbors, key=key, noise_std=noise_std_,
+            unroll_steps=unroll_steps,
+        )
+
+    def preprocess_eval_batched_fn(sample, neighbors):
+        return _preprocess_batched(sample, neighbors, mode="eval")
+
     def _allocate_shell(sample, capacity_boost: float = 1.0):
         """Host-side (numpy) neighbor buffer sizing from the raw sample.
 
@@ -230,6 +318,8 @@ def case_builder(
         preprocess=preprocess_jit,
         allocate_eval=allocate_eval_fn,
         preprocess_eval=preprocess_eval_jit,
+        preprocess_batched=jax.jit(preprocess_batched_fn),
+        preprocess_eval_batched=jax.jit(preprocess_eval_batched_fn),
         integrate=jax.jit(integrate_fn),
         displacement=displacement_fn,
         shift=shift_fn,

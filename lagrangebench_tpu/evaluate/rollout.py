@@ -42,27 +42,25 @@ def _build_rollout_fn(
     collectives run inside the scan — only the overflow flag reduces at the
     end. Batches not divisible by the mesh fall back to the local path.
     """
-    from ..ops.batching import flatten_graph_batch, unflatten_nodes
+    from ..ops.batching import unflatten_nodes
 
-    preprocess_eval_vmap = jax.vmap(case.preprocess_eval, in_axes=(0, 0))
     integrate_vmap = jax.vmap(case.integrate, in_axes=(0, 0))
 
     def rollout_core(params, state, current_batch, particle_type_batch,
                      neighbors_batch, targets_tm):
         kinematic = get_kinematic_mask(particle_type_batch)  # (B, N)
         b, n = particle_type_batch.shape
+        flat_ptype = particle_type_batch.reshape(b * n)
 
         def step(carry, target_t):
             current, nbrs, st, overflow = carry
-            features, nbrs = preprocess_eval_vmap(
+            # flat super-graph preprocess + model: batched-dims gathers
+            # under vmap lower poorly on TPU (see ops/batching.py and
+            # case._preprocess_batched)
+            flat_features, nbrs = case.preprocess_eval_batched(
                 (current, particle_type_batch), nbrs
             )
             overflow = overflow | jnp.any(nbrs.did_buffer_overflow)
-            # run the model on the disjoint super-graph: batched-dims
-            # gathers under vmap lower poorly on TPU (see ops/batching.py)
-            flat_features, flat_ptype = flatten_graph_batch(
-                features, particle_type_batch
-            )
             pred_flat, st = model_apply(params, st, (flat_features, flat_ptype))
             pred = {k: unflatten_nodes(v, b, n) for k, v in pred_flat.items()}
             next_pos = integrate_vmap(pred, current)

@@ -112,3 +112,33 @@ def push_forward_build(model_apply, case):
         return current_pos, neighbors, features
 
     return push_forward_fn
+
+
+def push_forward_batched_build(model_apply, case):
+    """Pushforward over a trajectory batch on the flat super-graph.
+
+    Same semantics as ``push_forward_build`` vmapped per sample, but the
+    model forward and feature rebuild run on the (B*N)-row disjoint
+    super-graph (case.preprocess_eval_batched): integrate and the window
+    shift are purely row-wise, so they apply to the flattened positions
+    directly; only the neighbor update runs per sample (inside the batched
+    preprocess).
+    """
+
+    def push_forward_fn(flat_features, current_pos, particle_type, neighbors,
+                        params, state):
+        b, n = particle_type.shape
+        flat_ptype = particle_type.reshape(b * n)
+        pred, _ = model_apply(params, state, (flat_features, flat_ptype))
+        cur_flat = current_pos.reshape((b * n,) + current_pos.shape[2:])
+        next_pos = case.integrate(pred, cur_flat)
+        cur_flat = jnp.concatenate(
+            [cur_flat[:, 1:], next_pos[:, None, :]], axis=1
+        )
+        current_pos = cur_flat.reshape(current_pos.shape)
+        flat_features, neighbors = case.preprocess_eval_batched(
+            (current_pos, particle_type), neighbors
+        )
+        return current_pos, neighbors, flat_features
+
+    return push_forward_fn

@@ -38,7 +38,6 @@ from ..data import DataLoader, H5Dataset
 from ..defaults import defaults
 from ..evaluate import MetricsComputer, averaged_metrics, eval_rollout
 from ..models import make_model_fns
-from ..ops.batching import flatten_graph_batch
 from ..parallel import replicate_sharding, shard_batch
 from ..profiling import ProfilerHook, StepTimer
 from ..utils import (
@@ -48,7 +47,7 @@ from ..utils import (
     get_num_params,
     set_seed,
 )
-from .strats import push_forward_build, push_forward_sample_steps
+from .strats import push_forward_batched_build, push_forward_sample_steps
 
 
 def mse_loss(params, state, features, particle_type, target, model_apply, loss_weight):
@@ -208,27 +207,29 @@ class Trainer:
         flat_loss_fn = partial(
             flat_mse_loss, model_apply=model_apply, loss_weight=loss_weight
         )
-        push_forward = push_forward_build(model_apply, case)
+        push_forward = push_forward_batched_build(model_apply, case)
 
         def local_step(params, state, keys, raw_batch, neighbors_batch,
                        noise_std, unroll_steps: int):
             """Loss-sum + summed grads over the (device-local) batch.
 
-            Preprocess/pushforward stay vmapped per sample (noise, NL update
-            and targets are per-graph), but the differentiated model forward
-            runs un-vmapped on the flattened disjoint super-graph.
+            Noise and the NL update stay per-sample (inside the batched
+            preprocess), but features, targets, pushforward and the
+            differentiated model forward all run on the flattened disjoint
+            super-graph — vmapped gathers lower poorly on TPU
+            (ops/batching.py, case._preprocess_batched).
             """
-            preprocess_vmap = jax.vmap(case.preprocess, in_axes=(0, 0, None, 0, None))
-            new_keys, features_b, targets_b, nbrs_b = preprocess_vmap(
-                keys, raw_batch, noise_std, neighbors_batch, unroll_steps
+            new_keys, flat_features, flat_targets, nbrs_b = (
+                case.preprocess_batched(
+                    keys, raw_batch, noise_std, neighbors_batch, unroll_steps
+                )
             )
 
             if unroll_steps > 0:
-                pf_vmap = jax.vmap(push_forward, in_axes=(0, 0, 0, 0, None, None))
                 current_pos = raw_batch[0][:, :, :isl]
                 for _ in range(unroll_steps):
-                    current_pos, nbrs_b, features_b = pf_vmap(
-                        features_b, current_pos, raw_batch[1], nbrs_b,
+                    current_pos, nbrs_b, flat_features = push_forward(
+                        flat_features, current_pos, raw_batch[1], nbrs_b,
                         params, state,
                     )
 
@@ -236,10 +237,7 @@ class Trainer:
 
             ptype_b = raw_batch[1]
             b, n = ptype_b.shape
-            flat_features, flat_ptype = flatten_graph_batch(features_b, ptype_b)
-            flat_targets = {
-                k: v.reshape((b * n,) + v.shape[2:]) for k, v in targets_b.items()
-            }
+            flat_ptype = ptype_b.reshape(b * n)
             # per-sample 1/num_non_kinematic, scattered to the sample's nodes
             non_kin = jnp.logical_not(get_kinematic_mask(ptype_b))
             per_sample = non_kin.sum(axis=1).astype(flat_targets["acc"].dtype)
