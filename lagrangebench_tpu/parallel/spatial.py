@@ -69,6 +69,23 @@ from ..ops import neighbors as nb
 from .mesh import DATA_AXIS, SPATIAL_AXIS
 
 
+def _require_periodic(metadata, where: str) -> None:
+    """The spatial component's domain of validity is fully periodic boxes:
+    the slab partition wraps positions through the box (``spatial_partition``)
+    and the local grids assume periodic images on every axis. Wall-bounded
+    datasets (LDC / DAM / WaterDrop) must run the standard single-device
+    path (reference boundary dispatch:
+    lagrangebench/case_setup/case.py:104-108)."""
+    pbc = list(metadata.get("periodic_boundary_conditions", []))
+    if not (pbc and all(bool(p) for p in pbc)):
+        raise ValueError(
+            f"{where}: parallel.spatial requires a fully periodic box, but "
+            f"the dataset has periodic_boundary_conditions={pbc}. "
+            f"Wall-bounded datasets wrap through walls under the slab "
+            f"partition — run them on the standard path (parallel.spatial=0)."
+        )
+
+
 def spatial_partition(
     pos: np.ndarray,  # (N, T, dim) position window
     ptype: np.ndarray,  # (N,)
@@ -1206,7 +1223,8 @@ def build_spatial_gns_train_step(
     model: str = "gns", radius=None, model_def=None,
 ):
     """Spatially-sharded training step (loss + psum'd gradients);
-    ``model`` selects gns | painn.
+    ``model`` selects gns | painn | segnn | egnn (all four families are
+    8-dev-vs-1-dev gradient-parity tested, tests/test_spatial.py).
 
     Gradients flow through the halo exchange: ``ppermute``'s transpose
     routes sender-state cotangents back to the owning slab, so the
@@ -1412,13 +1430,19 @@ def build_spatial_gns_rollout(
 ):
     """Chunked autoregressive rollout over the spatial mesh.
 
-    Returns fn(pos_sh (n_dev, N_loc, T, dim), ptype_sh, counts, n_steps)
-    -> (preds (n_dev, n_steps, N_loc, dim), pos_sh', flags) running
+    Returns fn(pos_sh (n_dev, N_loc, T, dim), ptype_sh, counts, n_steps,
+    gt_sh) -> (preds (n_dev, n_steps, N_loc, dim), pos_sh', flags) running
     ``n_steps`` (static) semi-implicit-Euler steps on device. ``flags`` is
     (nl_overflow, drift) — drift means ownership staleness approached the
     halo margin and the caller must re-partition at the returned state.
-    ``model`` selects the sharded core (gns | painn — same step logic,
-    both cores expose ``_forward``).
+    ``gt_sh`` (n_dev, n_steps, N_loc, dim) carries the ground-truth
+    trajectory in slab order: kinematic particles (walls / moving walls)
+    are forced onto it every step, matching the standard rollout's
+    semantics (evaluate/rollout.py; reference
+    lagrangebench/evaluate/rollout.py:64-69). Pass ``None`` to hold
+    kinematic particles at their last position instead (extrapolation
+    past the ground truth). ``model`` selects the sharded core
+    (gns | painn | segnn | egnn — all cores expose ``_forward``).
     """
     stats = normalization_stats
     core = _make_core(
@@ -1434,17 +1458,19 @@ def build_spatial_gns_rollout(
     def shift(pos, dpos):
         return jnp.mod(pos + dpos, box_j)
 
-    def make_local_rollout(n_steps: int):
-        def local_rollout(pos, ptype, count, x0):
+    def make_local_rollout(n_steps: int, use_gt: bool):
+        def local_rollout(fp, pos, ptype, count, x0, gt):
             pos, ptype, count, x0 = pos[0], ptype[0], count[0], x0[0]
+            gt = gt[0]  # (n_steps, N_loc, dim) ground truth, slab order
             d_idx = jax.lax.axis_index(DATA_AXIS)
             n_loc = pos.shape[0]
             valid = jnp.arange(n_loc, dtype=jnp.int32) < count
             kinematic = (ptype == 1) | (ptype == 2) | ~valid
+            forced = ((ptype == 1) | (ptype == 2)) & valid
 
-            def step(carry, _):
+            def step(carry, gt_t):
                 cur, nl_ovf, drift = carry
-                acc_n, ovf = core._forward(cur, ptype, count, d_idx)
+                acc_n, ovf = core._forward(cur, ptype, count, d_idx, fp=fp)
                 acc = stats["acceleration"]["mean"] + acc_n * stats[
                     "acceleration"
                 ]["std"]
@@ -1453,6 +1479,12 @@ def build_spatial_gns_rollout(
                 last_vel = last_vel - box_j * jnp.round(last_vel / box_j)
                 new_pos = shift(most, last_vel + acc)
                 new_pos = jnp.where(kinematic[:, None], most, new_pos)
+                if use_gt:
+                    # walls / moving walls follow the ground truth, like
+                    # the standard rollout (evaluate/rollout.py)
+                    new_pos = jnp.where(
+                        forced[:, None], gt_t.astype(new_pos.dtype), new_pos
+                    )
                 cur = jnp.concatenate([cur[:, 1:], new_pos[:, None]], axis=1)
                 # ownership-staleness guard: 2*max_drift + cutoff vs width
                 dx = new_pos[:, 0] - x0
@@ -1468,7 +1500,7 @@ def build_spatial_gns_rollout(
                 step,
                 (pos.astype(core.pos_dtype), jnp.asarray(False),
                  jnp.asarray(False)),
-                None, length=n_steps,
+                gt, length=n_steps,
             )
             nl_ovf = jax.lax.psum(nl_ovf.astype(jnp.int32), DATA_AXIS) > 0
             drift = jax.lax.psum(drift.astype(jnp.int32), DATA_AXIS) > 0
@@ -1479,20 +1511,32 @@ def build_spatial_gns_rollout(
     batched, rep = P(DATA_AXIS), P()
     cache = {}
 
-    def run(pos_sh, ptype_sh, counts, n_steps: int):
+    def run(pos_sh, ptype_sh, counts, n_steps: int, gt_sh=None, fp=None):
+        """``fp`` overrides the packed parameters captured at build time
+        (same layout as ``core.fp``) — lets a training loop re-use one
+        compiled rollout across parameter updates."""
         n_steps = int(n_steps)
-        if n_steps not in cache:
+        use_gt = gt_sh is not None
+        if gt_sh is None:
+            gt_sh = jnp.zeros(
+                (pos_sh.shape[0], n_steps) + pos_sh.shape[1:2]
+                + (pos_sh.shape[-1],),
+                jnp.asarray(pos_sh).dtype,
+            )
+        key = (n_steps, use_gt)
+        if key not in cache:
             sharded = shard_map(
-                make_local_rollout(n_steps), mesh=mesh,
-                in_specs=(batched, batched, batched, batched),
+                make_local_rollout(n_steps, use_gt), mesh=mesh,
+                in_specs=(rep, batched, batched, batched, batched, batched),
                 out_specs=(batched, batched, rep, rep),
                 check_vma=False,
             )
-            cache[n_steps] = jax.jit(sharded)
+            cache[key] = jax.jit(sharded)
         x0 = jnp.asarray(pos_sh)[:, :, isl - 1, 0]
-        preds, pos_out, nl_ovf, drift = cache[n_steps](
+        preds, pos_out, nl_ovf, drift = cache[key](
+            core.fp if fp is None else fp,
             jnp.asarray(pos_sh), jnp.asarray(ptype_sh),
-            jnp.asarray(counts), x0,
+            jnp.asarray(counts), x0, jnp.asarray(gt_sh),
         )
         return preds, pos_out, (bool(nl_ovf), bool(drift))
 
@@ -1504,13 +1548,25 @@ def spatial_rollout(
     input_seq_length, num_mp_steps, n_steps: int, normalization_stats,
     chunk: int = 25, multiplier: float = 1.25, compute_dtype=jnp.float32,
     num_particle_types: int = 9, max_retries: int = 8, model: str = "gns",
-    model_def=None,
+    model_def=None, target: Optional[np.ndarray] = None,
+    fp=None, build_cache: Optional[dict] = None,
 ) -> np.ndarray:
     """Full spatially-sharded rollout with host-side fault handling.
 
     pos: (N, input_seq_length, dim) initial window (global order);
     returns predicted positions (n_steps, N, dim) in the ORIGINAL particle
     order. Re-partitions on drift, escalates capacities on NL overflow.
+    ``target`` (n_steps, N, dim, global order): ground-truth trajectory —
+    kinematic particles (SOLID_WALL / MOVING_WALL) are forced onto it
+    each step, matching the standard rollout's semantics (reference
+    lagrangebench/evaluate/rollout.py:64-69); without it they hold their
+    last position.
+
+    ``fp`` (packed-layout parameters) overrides ``params`` values at call
+    time and ``build_cache`` (a caller-owned dict) re-uses compiled
+    rollouts across calls keyed by capacity — together they let the
+    spatial trainer run rollout-metric validation without recompiling
+    per evaluation.
     """
     n_dev = int(np.prod(mesh.devices.shape))
     n = pos.shape[0]
@@ -1526,21 +1582,42 @@ def spatial_rollout(
     run = None
     while done < n_steps:
         if run is None:
-            run = build_spatial_gns_rollout(
-                mesh, params, box=box, cutoff=cutoff,
-                input_seq_length=input_seq_length,
-                num_mp_steps=num_mp_steps,
-                k_cap=k_cap, cell_cap=cell_cap,
-                normalization_stats=normalization_stats,
-                compute_dtype=compute_dtype,
-                num_particle_types=num_particle_types,
-                model=model, model_def=model_def,
-            )
+            cache_key = (k_cap, cell_cap)
+            if build_cache is not None and cache_key in build_cache:
+                run = build_cache[cache_key]
+            else:
+                run = build_spatial_gns_rollout(
+                    mesh, params, box=box, cutoff=cutoff,
+                    input_seq_length=input_seq_length,
+                    num_mp_steps=num_mp_steps,
+                    k_cap=k_cap, cell_cap=cell_cap,
+                    normalization_stats=normalization_stats,
+                    compute_dtype=compute_dtype,
+                    num_particle_types=num_particle_types,
+                    model=model, model_def=model_def,
+                )
+                if build_cache is not None:
+                    build_cache[cache_key] = run
         pos_sh, ptype_sh, counts, order = spatial_partition(
             cur, ptype, n_dev, box_x
         )
         steps = min(chunk, n_steps - done)
-        preds, pos_out, (nl_ovf, drift) = run(pos_sh, ptype_sh, counts, steps)
+        gt_sh = None
+        if target is not None:
+            # ground truth for this chunk, permuted into slab order
+            n_loc = pos_sh.shape[1]
+            gt_sh = np.zeros(
+                (n_dev, steps, n_loc, pos.shape[-1]), np.float32
+            )
+            start = 0
+            for d in range(n_dev):
+                c = int(counts[d])
+                sel = order[start : start + c]
+                gt_sh[d, :, :c] = target[done : done + steps, sel]
+                start += c
+        preds, pos_out, (nl_ovf, drift) = run(
+            pos_sh, ptype_sh, counts, steps, gt_sh
+        )
         if nl_ovf:
             # capacity escalation: redo this chunk with bigger buffers
             retries += 1
@@ -1650,6 +1727,7 @@ def train_spatial(
     from .mesh import make_mesh, make_mesh_2d
 
     isl = input_seq_length
+    _require_periodic(metadata, "train_spatial")
     bounds = np.asarray(metadata["bounds"], np.float64)
     box = (bounds[:, 1] - bounds[:, 0]).tolist()
     cutoff = float(metadata["default_connectivity_radius"])
@@ -1845,13 +1923,17 @@ def infer_spatial(
     model: str = "gns",
     model_def=None,
 ):
-    """Spatially-sharded inference over a test split (GNS or PaiNN).
+    """Spatially-sharded inference over a test split.
 
     The runner dispatches here when ``parallel.spatial > 1`` in infer
     mode. Metrics are computed on the gathered global trajectory with the
-    standard MetricsComputer. Kinematic particles are held at their last
-    position (the standard path forces them to ground truth — spatial
-    mode targets homogeneous fluid systems).
+    standard MetricsComputer. Kinematic particles (walls / moving walls)
+    are forced to the ground-truth trajectory each step, matching the
+    standard ``infer`` semantics (reference
+    lagrangebench/evaluate/rollout.py:64-69), so metrics are directly
+    comparable. Requires a fully periodic box (the slab partition wraps
+    positions); the runner and this function both reject non-periodic
+    datasets.
     """
     from ..config import merge
     from ..defaults import defaults
@@ -1860,6 +1942,7 @@ def infer_spatial(
 
     cfg = merge(defaults.eval.infer, cfg_eval_infer or {})
     metadata = data_test.metadata
+    _require_periodic(metadata, "infer_spatial")
     isl = data_test.input_seq_length
     mesh = make_mesh(n_devices)
     bounds = np.asarray(metadata["bounds"], np.float64)
@@ -1891,6 +1974,7 @@ def infer_spatial(
             num_mp_steps=num_mp_steps, n_steps=n_steps,
             normalization_stats=case.normalization_stats,
             compute_dtype=compute_dtype, model=model, model_def=model_def,
+            target=target.transpose(1, 0, 2),
         )
         m = metrics_computer(
             jnp.asarray(preds), jnp.asarray(target.transpose(1, 0, 2))

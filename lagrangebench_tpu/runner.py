@@ -122,12 +122,14 @@ def train_or_infer(cfg: Config):
             # spatially-sharded training over an N-slab ring (2D
             # (data, space) mesh when batch_size > 1); standard-layout
             # checkpoints, so infer/export consume them unchanged
-            from .parallel.spatial import train_spatial
+            from .parallel.spatial import _require_periodic, train_spatial
 
             model_name = cfg.model.name.lower()
             assert model_name in ("gns", "painn", "segnn", "egnn"), (
                 "parallel.spatial supports gns|painn|segnn|egnn"
             )
+            # spatial sharding is periodic-boxes-only; fail before any work
+            _require_periodic(data_train.metadata, "runner(mode=train)")
             assert old_model_dir is None, (
                 "spatial training does not support resuming from a "
                 "checkpoint (load_ckp); train standard or start fresh"
@@ -198,7 +200,9 @@ def train_or_infer(cfg: Config):
             assert model_name in ("gns", "painn", "segnn", "egnn"), (
                 "parallel.spatial supports gns|painn|segnn|egnn"
             )
-            from .parallel.spatial import infer_spatial
+            from .parallel.spatial import _require_periodic, infer_spatial
+
+            _require_periodic(data_test.metadata, "runner(mode=infer)")
 
             eval_metrics = infer_spatial(
                 params, case, data_test,

@@ -903,3 +903,100 @@ def test_train_spatial_loop_smoke():
     k0 = np.asarray(params0["MLP_0"]["Dense_0"]["kernel"])
     k1 = np.asarray(std_params["MLP_0"]["Dense_0"]["kernel"])
     assert np.abs(k1 - k0).max() > 0
+
+
+def test_spatial_rollout_kinematic_forcing_matches_standard():
+    """Spatial rollout with a ground-truth target forces walls / moving
+    walls onto it each step — matching the standard eval rollout's
+    kinematic semantics (reference lagrangebench/evaluate/rollout.py:64-69)
+    on a periodic fixture that contains wall particles."""
+    from lagrangebench_tpu.parallel.spatial import spatial_rollout
+
+    n, dim, isl = 2048, 3, 3
+    box, cutoff = 1.0, 0.07
+    mp_steps, latent = 2, 8
+    n_steps = 5
+    case, apply, params64, pos, ptype, nbrs, _ = _make_case_and_model(
+        n, dim, isl, box, cutoff, mp_steps, latent, seed=5
+    )
+    ptype = ptype.copy()
+    ptype[:64] = 1  # walls (their GT drifts, so forcing is observable)
+    ptype[64:128] = 2  # moving walls
+    kin = (ptype == 1) | (ptype == 2)
+    target = pos[:, isl : isl + n_steps]  # (N, T, dim) ground truth
+
+    # standard-path reference: model step + kinematic forced to GT
+    cur = jnp.asarray(pos[:, :isl], jnp.float64)
+    ptype_j = jnp.asarray(ptype)
+    kin_j = jnp.asarray(kin)
+    ref = []
+    nbrs_ref = nbrs
+    for t in range(n_steps):
+        feats, nbrs_ref = case.preprocess_eval((cur, ptype_j), nbrs_ref)
+        assert not bool(nbrs_ref.did_buffer_overflow)
+        feats64 = jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if hasattr(x, "dtype") and x.dtype.kind == "f" else x,
+            feats,
+        )
+        out, _ = apply(params64, {}, (feats64, ptype_j))
+        next_pos = case.integrate(
+            {"acc": jnp.asarray(out["acc"], jnp.float64)}, cur
+        )
+        next_pos = jnp.where(
+            kin_j[:, None], jnp.asarray(target[:, t], jnp.float64), next_pos
+        )
+        ref.append(np.asarray(next_pos))
+        cur = jnp.concatenate([cur[:, 1:], next_pos[:, None]], axis=1)
+    ref = np.stack(ref)  # (T, N, dim)
+
+    mesh = make_mesh(8)
+    preds = spatial_rollout(
+        params64, pos[:, :isl].astype(np.float64), ptype, mesh=mesh,
+        box=[box] * dim, cutoff=cutoff, input_seq_length=isl,
+        num_mp_steps=mp_steps, n_steps=n_steps,
+        normalization_stats=case.normalization_stats, chunk=2,
+        compute_dtype=jnp.float64, target=target.transpose(1, 0, 2),
+    )
+    np.testing.assert_allclose(preds, ref, rtol=1e-7, atol=1e-9)
+    # the forcing actually engaged: walls track their (moving) GT, not
+    # their held last-input position
+    hold = pos[kin, isl - 1]
+    assert np.abs(preds[-1, kin] - hold).max() > 1e-5
+    np.testing.assert_allclose(preds[-1, kin], target[kin, -1], atol=1e-12)
+
+
+def test_spatial_rejects_non_periodic_datasets():
+    """parallel.spatial on a wall-bounded (non-periodic) dataset errors
+    out instead of silently wrapping positions through walls."""
+    import pytest
+
+    from lagrangebench_tpu.parallel.spatial import (
+        _require_periodic,
+        infer_spatial,
+        train_spatial,
+    )
+
+    bad = {"periodic_boundary_conditions": [False, True, True]}
+    with pytest.raises(ValueError, match="fully periodic"):
+        _require_periodic(bad, "test")
+    _require_periodic({"periodic_boundary_conditions": [True] * 3}, "test")
+
+    class _FakeData:
+        metadata = {
+            "periodic_boundary_conditions": [True, False],
+            "bounds": [[0.0, 1.0]] * 2,
+            "default_connectivity_radius": 0.05,
+        }
+        input_seq_length = 3
+
+    with pytest.raises(ValueError, match="fully periodic"):
+        train_spatial(
+            {}, None, _FakeData(), _FakeData(), n_devices=2, model="gns",
+            num_mp_steps=2, cfg_train=None, cfg_logging=None,
+            input_seq_length=3, metadata=_FakeData.metadata,
+        )
+    with pytest.raises(ValueError, match="fully periodic"):
+        infer_spatial(
+            {}, None, _FakeData(), n_devices=2, num_mp_steps=2,
+        )
