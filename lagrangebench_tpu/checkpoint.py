@@ -82,10 +82,16 @@ class OptStateLeaves:
             f"stored {len(self.leaves)} — optimizer config changed?"
         )
         skel = jax.tree.leaves(opt_state_skeleton)
-        leaves = [
-            np.asarray(saved, dtype=np.asarray(ref).dtype)
-            for saved, ref in zip(self.leaves, skel)
-        ]
+        leaves = []
+        for i, (saved, ref) in enumerate(zip(self.leaves, skel)):
+            ref = np.asarray(ref)
+            saved = np.asarray(saved, dtype=ref.dtype)
+            assert saved.shape == ref.shape, (
+                f"optimizer-state leaf {i} has shape {saved.shape}, the "
+                f"rebuilt skeleton expects {ref.shape} — parameter layout "
+                f"changed since the checkpoint?"
+            )
+            leaves.append(saved)
         return jax.tree.unflatten(treedef, leaves)
 
 

@@ -1315,6 +1315,76 @@ def _sample_loss_contrib(core, fp, pos, ptype, count):
     return local_sum / gcnt, overflow
 
 
+def build_spatial_loss_fn(
+    mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
+    normalization_stats, cell_cap: Optional[int] = None,
+    num_particle_types: int = 9, compute_dtype=jnp.float32,
+    model: str = "gns", radius=None, model_def=None,
+):
+    """Loss-only (no gradients) spatially-sharded evaluation step.
+
+    Same partitioned inputs and kinematic-masked acceleration MSE as
+    ``build_spatial_gns_train_step`` / ``build_spatial_train_step_dp``
+    but without ``value_and_grad`` — roughly half the cost, for
+    in-training validation. Handles both mesh topologies: a 1D slab ring
+    (inputs ``(n_space, N_loc, ...)``) and a 2D (data, space) mesh
+    (inputs with a leading batch axis). Returns ``eval_fn(fp, pos_sh,
+    ptype_sh, counts) -> (loss, overflow)``.
+    """
+    is_2d = SPATIAL_AXIS in dict(mesh.shape)
+    axis_name = SPATIAL_AXIS if is_2d else DATA_AXIS
+    core = _make_core(
+        model, mesh, params, box=box, cutoff=cutoff,
+        input_seq_length=input_seq_length, num_mp_steps=num_mp_steps,
+        k_cap=k_cap, cell_cap=cell_cap or 4 * k_cap,
+        stats=normalization_stats,
+        num_particle_types=num_particle_types, compute_dtype=compute_dtype,
+        radius=radius, axis_name=axis_name, model_def=model_def,
+    )
+
+    rep = P()
+    if is_2d:
+        n_data = int(dict(mesh.shape)[DATA_AXIS])
+
+        def local_eval(fp, pos, ptype, count):
+            pos, ptype, count = pos[:, 0], ptype[:, 0], count[:, 0]
+            b_loc = pos.shape[0]
+            contribs, overflows = jax.vmap(
+                lambda p, t, c: _sample_loss_contrib(core, fp, p, t, c)
+            )(pos, ptype, count)
+            contrib = jnp.sum(contribs) / (b_loc * n_data)
+            axes = (DATA_AXIS, SPATIAL_AXIS)
+            loss = jax.lax.psum(contrib, axes)
+            overflow = (
+                jax.lax.psum(jnp.any(overflows).astype(jnp.int32), axes) > 0
+            )
+            return loss, overflow
+
+        batched = P(DATA_AXIS, SPATIAL_AXIS)
+    else:
+
+        def local_eval(fp, pos, ptype, count):
+            pos, ptype, count = pos[0], ptype[0], count[0]
+            contrib, overflow = _sample_loss_contrib(
+                core, fp, pos, ptype, count
+            )
+            loss = jax.lax.psum(contrib, DATA_AXIS)
+            overflow = (
+                jax.lax.psum(overflow.astype(jnp.int32), DATA_AXIS) > 0
+            )
+            return loss, overflow
+
+        batched = P(DATA_AXIS)
+
+    sharded = shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(rep, batched, batched, batched),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def build_spatial_train_step_dp(
     mesh, params, *, box, cutoff, input_seq_length, num_mp_steps, k_cap,
     normalization_stats, cell_cap: Optional[int] = None,
@@ -1704,20 +1774,28 @@ def train_spatial(
     store_ckp: Optional[str] = None,
     compute_dtype=jnp.float32,
     multiplier: float = 1.25,
+    load_ckp: Optional[str] = None,
+    n_rollout_steps_val: int = 20,
+    n_trajs_val: int = 2,
 ):
     """Spatially-sharded training (the ``parallel.spatial: N`` train mode).
 
     Every optimizer step runs the halo-exchange train step over an
     ``N``-slab ring; with ``train.batch_size > 1`` (and enough devices)
     the batch shards over the rows of a 2D ``(data, space)`` mesh
-    (`build_spatial_train_step_dp`). Documented deltas vs the standard
-    Trainer: no pushforward unrolls (one-step acceleration loss only),
-    GNS noise applied host-side (same random-walk math — the spatial path
-    partitions on the host anyway), in-training eval reports the
-    validation LOSS instead of rollout metrics, and no mid-training
-    resume. Checkpoints are written in the STANDARD parameter layout, so
-    `infer`, `infer_spatial` and the reference-checkpoint exporter all
-    consume them unchanged.
+    (`build_spatial_train_step_dp`). Standard-Trainer semantics carried
+    over: mid-training resume (``load_ckp`` restores params, optimizer
+    state and step count from a standard-layout checkpoint), loss-only
+    validation through a separate jitted eval fn (its capacity
+    escalations never touch the training buffers), and best-model
+    selection by validation ROLLOUT MSE (``n_trajs_val`` rollouts of
+    ``n_rollout_steps_val`` steps through one cached compiled rollout, so
+    the best/ dir is picked the same way the standard path picks it).
+    Documented deltas: no pushforward unrolls (one-step acceleration
+    loss only) and GNS noise applied host-side (same random-walk math —
+    the spatial path partitions on the host anyway). Checkpoints are
+    written in the STANDARD parameter layout, so `infer`, `infer_spatial`
+    and the reference-checkpoint exporter all consume them unchanged.
 
     Returns ``(standard_params, state, opt_state)``.
     """
@@ -1763,6 +1841,17 @@ def train_spatial(
     else:
         mesh = make_mesh(n_devices)
 
+    step_start = 0
+    if load_ckp is not None:
+        # resume from a standard-layout checkpoint (spatial checkpoints
+        # export standard layout, so this also chains spatial runs)
+        from ..checkpoint import load_checkpoint
+
+        params, _, opt_leaves, ckp_step = load_checkpoint(load_ckp)
+        step_start = int(ckp_step) + 1
+    else:
+        opt_leaves = None
+
     pos0, _ = data_train[0]
     pos0 = np.asarray(pos0)
     k_cap, cell_cap = spatial_caps(
@@ -1781,8 +1870,20 @@ def train_spatial(
             compute_dtype=compute_dtype, model=model, model_def=model_def,
         )
 
+    def build_eval(k_cap, cell_cap):
+        return build_spatial_loss_fn(
+            mesh, params, box=box, cutoff=cutoff, input_seq_length=isl,
+            num_mp_steps=num_mp_steps, k_cap=k_cap, cell_cap=cell_cap,
+            normalization_stats=case.normalization_stats,
+            compute_dtype=compute_dtype, model=model, model_def=model_def,
+        )
+
     step_fn, fp = build(k_cap, cell_cap)
     fp = jax.tree.map(jnp.asarray, fp)
+    # validation runs its own loss-only fn with its own capacities, so
+    # eval-side escalations never inflate the training buffers
+    k_cap_e, cell_cap_e = k_cap, cell_cap
+    eval_fn = build_eval(k_cap_e, cell_cap_e)
 
     lr_scheduler = optax.exponential_decay(
         init_value=float(cfg_train.optimizer.lr_start),
@@ -1794,6 +1895,14 @@ def train_spatial(
         learning_rate=lr_scheduler, weight_decay=1e-8
     )
     opt_state = opt_init(fp)
+    if opt_leaves is not None:
+        try:
+            opt_state = opt_leaves.restore(opt_state)
+        except AssertionError as e:
+            # e.g. the checkpoint came from the standard Trainer (standard
+            # parameter layout != fused layout) — fresh optimizer then
+            print(f"WARNING: optimizer state not restored ({e}); starting "
+                  f"the optimizer fresh at step {step_start}.")
 
     @jax.jit
     def apply_update(fp, opt_state, grads):
@@ -1846,10 +1955,41 @@ def train_spatial(
             return list(zip(np.asarray(raw[0]), np.asarray(raw[1])))
         return [(raw[0][0], raw[1][0])]
 
+    # validation rollouts: one cached compiled rollout (1D slab ring) with
+    # the live packed params threaded per call — best-model selection by
+    # val ROLLOUT MSE, like the standard Trainer
+    rollout_mesh = mesh if batch == 1 else make_mesh(n_devices)
+    rollout_cache: dict = {}
+
+    def val_rollout_mse(fp_now):
+        mses = []
+        for i in range(min(n_trajs_val, len(data_valid))):
+            vpos_i, vpt_i = data_valid[i]
+            vpos_i = np.asarray(vpos_i)
+            horizon = vpos_i.shape[1] - isl
+            if n_rollout_steps_val > 0:
+                horizon = min(horizon, n_rollout_steps_val)
+            if horizon < 1:
+                continue
+            tgt = vpos_i[:, isl : isl + horizon].transpose(1, 0, 2)
+            preds = spatial_rollout(
+                params, vpos_i[:, :isl], np.asarray(vpt_i),
+                mesh=rollout_mesh, box=box, cutoff=cutoff,
+                input_seq_length=isl, num_mp_steps=num_mp_steps,
+                n_steps=horizon,
+                normalization_stats=case.normalization_stats,
+                compute_dtype=compute_dtype, model=model,
+                model_def=model_def, target=tgt, fp=fp_now,
+                build_cache=rollout_cache,
+            )
+            # plain (unwrapped) position MSE, like MetricsComputer's "mse"
+            mses.append(float(np.mean((preds - tgt) ** 2)))
+        return float(np.mean(mses)) if mses else float("nan")
+
     log_steps = int(cfg_logging.log_steps)
     eval_steps = int(cfg_logging.eval_steps)
     state = {}
-    step = 0
+    step = step_start
     retries = 0
     while step < step_max:
         pos_b, ptype_b, counts_b = prepare(split_batch(next(loader)),
@@ -1871,27 +2011,31 @@ def train_spatial(
         if step % log_steps == 0:
             print(f"{step}, train/loss: {float(loss):.5f}.")
         if (step % eval_steps == 0 and step > 0) or step == step_max - 1:
-            # clean (noise-free) validation loss; on NL overflow escalate
-            # capacities and retry so a truncated graph is never recorded
+            # clean (noise-free) validation loss through the loss-only fn
+            # (no gradient work); on NL overflow escalate the EVAL
+            # capacities only and retry, so a truncated graph is never
+            # recorded and training buffers stay at their working size
             vpos, vptype, vcounts = prepare(
                 split_batch(next(loader_valid)), 0.0
             )
             for _ in range(8):
-                vloss, _, v_overflow = step_fn(
+                vloss, v_overflow = eval_fn(
                     fp, jnp.asarray(vpos), jnp.asarray(vptype),
                     jnp.asarray(vcounts),
                 )
                 if not bool(v_overflow):
                     break
-                k_cap = -(-int(k_cap * 1.5) // 8) * 8
-                cell_cap = -(-int(cell_cap * 1.5) // 8) * 8
-                step_fn, _ = build(k_cap, cell_cap)
+                k_cap_e = -(-int(k_cap_e * 1.5) // 8) * 8
+                cell_cap_e = -(-int(cell_cap_e * 1.5) // 8) * 8
+                eval_fn = build_eval(k_cap_e, cell_cap_e)
             else:
                 raise RuntimeError(
                     "spatial training: validation capacity escalation failed"
                 )
             vloss = float(vloss)
-            print(f"{step}, val/loss: {vloss:.6f}.")
+            vroll = val_rollout_mse(fp)
+            print(f"{step}, val/loss: {vloss:.6f}, "
+                  f"val/rollout_mse: {vroll:.3e}.")
             if store_ckp is not None:
                 from ..checkpoint import save_checkpoint
 
@@ -1899,8 +2043,8 @@ def train_spatial(
                     np.asarray, _UNPACKERS[model](jax.device_get(fp))
                 )
                 save_checkpoint(
-                    store_ckp, std_params, state, None,
-                    {"step": step, "loss": vloss},
+                    store_ckp, std_params, state, opt_state,
+                    {"step": step, "loss": vroll, "val_loss": vloss},
                 )
         step += 1
 

@@ -130,16 +130,15 @@ def train_or_infer(cfg: Config):
             )
             # spatial sharding is periodic-boxes-only; fail before any work
             _require_periodic(data_train.metadata, "runner(mode=train)")
-            assert old_model_dir is None, (
-                "spatial training does not support resuming from a "
-                "checkpoint (load_ckp); train standard or start fresh"
-            )
             key = jax.random.PRNGKey(cfg.seed)
             pos0, ptype0 = data_train[0]
             key, features0, _, _ = case.allocate(
                 key, (jnp.asarray(pos0), jnp.asarray(ptype0))
             )
             params0, _ = model_init(key, (features0, jnp.asarray(ptype0)))
+            n_trajs_val = int(cfg.eval.train.n_trajs)
+            if n_trajs_val == -1:
+                n_trajs_val = data_valid.num_samples
             params, state, _ = train_spatial(
                 params0, case, data_train, data_valid,
                 n_devices=n_spatial_train,
@@ -154,6 +153,9 @@ def train_or_infer(cfg: Config):
                 ),
                 seed=cfg.seed, step_max=cfg.train.step_max,
                 store_ckp=store_ckp,
+                load_ckp=old_model_dir,
+                n_rollout_steps_val=int(cfg.eval.n_rollout_steps),
+                n_trajs_val=n_trajs_val,
             )
         else:
             trainer = Trainer(

@@ -15,7 +15,7 @@ the table"). Summary of findings:
   PROMISE_IN_BOUNDS) — none moved the ~2x-off-roofline cost.
 
 The production answer became the round-3 windowed-select slot path (see
-scripts/exp_window_select.py and ops/fused_mp.py).
+scripts/experiments/window_select.py and ops/fused_mp.py).
 
 Run a single variant:  python scripts/experiments/gather_variants.py N
 """

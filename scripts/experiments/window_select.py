@@ -12,7 +12,7 @@ positions): per-MP-step time of
   (a) the production path: XLA hs[senders] gather + fused MP kernel;
   (b) the windowed kernel (no HBM-materialized gathered tensor).
 
-Run ON TPU: python scripts/exp_window_select.py
+Run ON TPU: python scripts/experiments/window_select.py
 """
 
 import math

@@ -894,15 +894,36 @@ def test_train_spatial_loop_smoke():
     )
 
     # standard layout: loadable and consumable by the standard model
-    loaded, _, _, step = load_checkpoint(ckp)
+    loaded, _, opt_leaves, step = load_checkpoint(ckp)
     assert step == 3
     assert os.path.exists(os.path.join(ckp, "best", "metadata_ckp.json"))
+    # best-model selection now keys on the validation ROLLOUT MSE
+    import json
+
+    meta = json.load(open(os.path.join(ckp, "metadata_ckp.json")))
+    assert np.isfinite(meta["loss"]) and "val_loss" in meta
+    # the optimizer state is checkpointed (fused layout) for exact resume
+    assert opt_leaves is not None
     out, _ = apply(std_params, {}, (features, jnp.asarray(ptype0)))
     assert np.isfinite(np.asarray(out["acc"])).all()
     # trained params differ from the init (an update actually happened)
     k0 = np.asarray(params0["MLP_0"]["Dense_0"]["kernel"])
     k1 = np.asarray(std_params["MLP_0"]["Dense_0"]["kernel"])
     assert np.abs(k1 - k0).max() > 0
+
+    # resume: continues from the checkpointed step with restored optimizer
+    cfg_train.step_max = 6
+    std_params2, _, _ = train_spatial(
+        params0, case, data_train, data_valid,
+        n_devices=4, model="gns", num_mp_steps=2,
+        cfg_train=cfg_train, cfg_logging=cfg_logging,
+        input_seq_length=isl, metadata=md, seed=0, store_ckp=ckp,
+        load_ckp=ckp,
+    )
+    _, _, _, step2 = load_checkpoint(ckp)
+    assert step2 == 5  # resumed at 4, ran to step_max-1
+    k2 = np.asarray(std_params2["MLP_0"]["Dense_0"]["kernel"])
+    assert np.abs(k2 - k1).max() > 0  # training actually continued
 
 
 def test_spatial_rollout_kinematic_forcing_matches_standard():
