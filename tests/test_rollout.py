@@ -145,3 +145,63 @@ def test_eval_rollout_writes_artifacts(env, tmp_path):
     assert rollout["predicted_rollout"].shape[0] == 5 + ISL
     avg = averaged_metrics(metrics)
     assert "val/loss" in avg and avg["val/loss"] < 1e-10
+
+
+def test_long_horizon_rollout_single_scan_compiles_once():
+    """A 400-step horizon is ONE `lax.scan` under one jit trace: calling
+    the rollout twice (new data, same shapes) must not retrace, and the
+    full-trajectory switch (n_rollout_steps=-1) reuses the same compiled
+    fn. Pins the long-horizon contract of BASELINE configs item 5."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lagrangebench_tpu.case import case_builder
+    from lagrangebench_tpu.evaluate.rollout import _build_rollout_fn
+    from lagrangebench_tpu.models import Linear, make_model_fns
+    from lagrangebench_tpu.utils import broadcast_to_batch
+
+    n, dim, isl, t_long = 27, 2, 3, 400
+    metadata = {
+        "dim": dim, "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "bounds": [[0.0, 1.0]] * dim,
+        "default_connectivity_radius": 0.35,
+        "vel_mean": [0.0] * dim, "vel_std": [1e-3] * dim,
+        "acc_mean": [0.0] * dim, "acc_std": [1e-4] * dim,
+    }
+    case = case_builder(
+        box=[1.0] * dim, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 2.0,
+                       "format": "dense"},
+        noise_std=0.0,
+    )
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 1, size=(n, isl, dim)).astype(np.float32)
+    ptype = np.zeros(n, np.int32)
+    model = Linear(dimension_out=dim)
+    init, apply = make_model_fns(model)
+    features, nbrs = case.allocate_eval((pos, ptype))
+    params, state = init(jax.random.PRNGKey(0), (features, ptype))
+
+    rollout_fn = _build_rollout_fn(apply, case, isl)
+    targets_tm = jnp.asarray(
+        rng.uniform(0, 1, size=(t_long, 1, n, dim)), jnp.float32
+    )
+    nbrs_b = broadcast_to_batch(nbrs, 1)
+    preds, overflow, _ = rollout_fn(
+        params, state, jnp.asarray(pos[None]), jnp.asarray(ptype[None]),
+        nbrs_b, targets_tm,
+    )
+    assert preds.shape == (1, t_long, n, dim)
+    assert np.isfinite(np.asarray(preds)).all()
+
+    # second call, fresh data, same shapes: NO retrace
+    pos2 = rng.uniform(0, 1, size=(1, n, isl, dim)).astype(np.float32)
+    rollout_fn(
+        params, state, jnp.asarray(pos2), jnp.asarray(ptype[None]),
+        nbrs_b, targets_tm * 0.5,
+    )
+    assert rollout_fn._cache_size() == 1, (
+        f"long-horizon rollout retraced: {rollout_fn._cache_size()} entries"
+    )
