@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -274,6 +274,327 @@ def haiku_linear_to_flax(hk_params: Dict) -> Dict:
         "Dense_0": {"kernel": np.asarray(lin["w"]),
                     "bias": np.asarray(lin["b"])}
     }
+
+
+# ---------------------------------------------------------------------------
+# SEGNN (DRAFT — numerically UNVALIDATED; see PARITY.md "SEGNN importer")
+#
+# The reference's SEGNN parameters live inside e3nn.haiku.Linear modules
+# (reference models/segnn.py:89-95). This environment has no e3nn-jax, so
+# the mapping below could not be validated against genuine e3nn layouts —
+# it encodes the best-effort spec (haiku paths, e3nn instruction
+# enumeration, normalization constants) read from the reference source and
+# the e3nn-jax conventions, fails loudly on any mismatch with the actual
+# checkpoint, and refuses to run unless `allow_unvalidated=True`.
+# Validation recipe for a networked host: PARITY.md.
+# ---------------------------------------------------------------------------
+
+def _e3nn_ir_sort_key(l: int, p: int):
+    """Assumed e3nn Irrep ordering: by l, then 'natural parity' first
+    (0e < 0o, 1o < 1e, 2e < 2o, ...) — i.e. p = (-1)**l sorts first."""
+    return (l, -p * (-1) ** l)
+
+
+def _e3nn_tp_output_groups(x_irreps, y_irreps):
+    """Assumed e3nn ``tensor_product(x, y)`` output grouping.
+
+    ASSUMPTION (unvalidated here): products enumerate x-group-major, then
+    y-group, then output l ascending in ``|l1-l2|..l1+l2`` with parity
+    ``p1*p2``; the result is sorted by irrep (STABLE) and consecutive
+    equal irreps merge. Returns:
+
+    * ``groups``: list of ``(mul_total, (l, p))`` — the e3nn Linear's
+      ``irreps_in`` groups, index = the ``a`` in its ``w[a,b]`` names;
+    * ``rows``: dict ``(i, j, (l, p)) -> (group_index, row_offset)``
+      locating MY path (x-group i, y-group j, output ir) inside group
+      ``a``'s ``mul_total`` rows (chunk channel order is x-multiplicity
+      -major, trivially matching ours since every SEGNN y-group has
+      mul 1).
+    """
+    from .models.e3.irreps import Irrep
+
+    chunks = []  # (sort_key, birth_order, mul, (l, p), (i, j))
+    birth = 0
+    for i, gx in enumerate(x_irreps):
+        for j, gy in enumerate(y_irreps):
+            for ir in gx.ir * gy.ir:  # l ascending, parity fixed
+                chunks.append((
+                    _e3nn_ir_sort_key(ir.l, ir.p), birth,
+                    gx.mul * gy.mul, (ir.l, ir.p), (i, j),
+                ))
+                birth += 1
+    chunks.sort(key=lambda c: (c[0], c[1]))  # stable by construction
+
+    groups = []
+    rows = {}
+    for key, _, mul, irlp, (i, j) in chunks:
+        if groups and groups[-1][1] == irlp:
+            off = groups[-1][0]
+            groups[-1] = (off + mul, irlp)
+        else:
+            off = 0
+            groups.append((mul, irlp))
+        rows[(i, j, Irrep(*irlp))] = (len(groups) - 1, off)
+    return groups, rows
+
+
+def _e3nn_out_groups(out_irreps):
+    """Assumed e3nn Linear ``irreps_out`` = regroup of the requested
+    output (reference O3TensorProductGate regroups gates+outputs,
+    segnn.py:164-166). Returns (groups, map my k_out -> (b, col_off))."""
+    groups = []
+    colmap = {}
+    order = sorted(
+        range(len(out_irreps)),
+        key=lambda k: (_e3nn_ir_sort_key(out_irreps[k].ir.l,
+                                         out_irreps[k].ir.p), k),
+    )
+    for k in order:
+        g = out_irreps[k]
+        irlp = (g.ir.l, g.ir.p)
+        if groups and groups[-1][1] == irlp:
+            colmap[k] = (len(groups) - 1, groups[-1][0])
+            groups[-1] = (groups[-1][0] + g.mul, irlp)
+        else:
+            groups.append((g.mul, irlp))
+            colmap[k] = (len(groups) - 1, 0)
+    return groups, colmap
+
+
+def _parse_e3nn_param_name(name: str):
+    """Parse e3nn.haiku.Linear parameter names.
+
+    ASSUMED forms (e3nn-jax _src/linear_haiku.py):
+        "w[a,b] <irreps_in[a]>,<irreps_out[b]>"  — weight (mul_a, mul_b)
+        "b[b] <irreps_out[b]>"                   — bias (mul_b,)
+    Returns ("w", a, b) / ("b", None, b) / None for unrecognized.
+    """
+    import re
+
+    m = re.match(r"^w\[(\d+),(\d+)\]", name)
+    if m:
+        return ("w", int(m.group(1)), int(m.group(2)))
+    m = re.match(r"^b\[(\d+)\]", name)
+    if m:
+        return ("b", None, int(m.group(1)))
+    return None
+
+
+def segnn_site_specs(model, sample):
+    """Init the flax SEGNN once and return its importer metadata.
+
+    Returns ``(params, specs)`` where specs maps each O3TensorProduct's
+    flax path ("SEGNNLayer_0/O3TensorProductGate_1/O3TensorProduct_0") to
+    its ``(x_irreps, y_irreps, out_irreps)`` strings (sown at init,
+    models/e3/tensor.py).
+    """
+    import jax as _jax
+
+    from .models.e3 import tensor as _e3_tensor
+
+    _e3_tensor._CAPTURE_SITE_SPECS = True
+    try:
+        variables = model.init(_jax.random.PRNGKey(0), sample)
+    finally:
+        _e3_tensor._CAPTURE_SITE_SPECS = False
+    specs = {}
+
+    def walk(tree, prefix):
+        if isinstance(tree, tuple) and len(tree) == 3:
+            specs["/".join(prefix[:-1])] = tree
+            return
+        for k, v in tree.items():
+            walk(v, prefix + [k])
+
+    walk(variables["site_spec"], [])
+    return variables["params"], specs
+
+
+#: flax top-level module -> reference haiku module path stem
+#: (reference creation sites: embedding segnn.py:201-203, layer tps
+#: :302,:324,:328 — haiku uniquifies the update duplicates to tp_i_1 —
+#: decoder readouts :241, output :245)
+def _segnn_haiku_stem(flax_path: str) -> str:
+    parts = flax_path.split("/")
+    top = parts[0]
+    if top == "O3TensorProduct_0":
+        return "segnn/~/embedding_nodes"
+    if top == "O3TensorProduct_1":
+        return "segnn/~/output"
+    if top.startswith("O3TensorProductGate_"):
+        return f"segnn/~/readout_{int(top.rsplit('_', 1)[1])}"
+    if top.startswith("SEGNNLayer_"):
+        k = int(top.rsplit("_", 1)[1])
+        sub = parts[1]
+        table = {
+            "O3TensorProductGate_0": "tp_0",       # message block 0
+            "O3TensorProductGate_1": "tp_1",       # message block 1
+            "O3TensorProductGate_2": "tp_0_1",     # update block 0
+            "O3TensorProduct_0": "tp_1_1",         # update final (plain)
+        }
+        return f"segnn/~/layer_{k}/~/{table[sub]}"
+    raise KeyError(f"unrecognized flax SEGNN site {flax_path!r}")
+
+
+def haiku_segnn_to_flax(
+    hk_params: Dict,
+    model,
+    sample,
+    *,
+    allow_unvalidated: bool = False,
+    forward_alpha: str = "folded",
+    sign_overrides: Optional[Dict] = None,
+) -> Dict:
+    """DRAFT importer: reference (e3nn.haiku) SEGNN -> flax params.
+
+    UNVALIDATED — this environment has no e3nn-jax, so the spec encoded
+    here (haiku module paths, e3nn tensor_product output ordering, Linear
+    instruction enumeration and normalization) was derived from source
+    reading, not verified against genuine layouts. It refuses to run
+    unless ``allow_unvalidated=True`` and raises with a full
+    found-vs-expected dump on ANY structural mismatch, so a networked
+    host can validate/fix it quickly (recipe: PARITY.md).
+
+    Scaling model: with the reference's ``gradient_normalization=
+    "element"`` the e3nn Linear folds its per-instruction normalization
+    into the stored weights (forward multiplier 1), while our
+    O3TensorProduct multiplies by ``1/sqrt(fan_in)`` at forward time
+    (models/e3/tensor.py) — so each weight block is scaled by
+    ``sqrt(fan_in)``. Both CG conventions carry ``sum(C^2) = 2*l3+1``
+    (ours by construction, e3nn's unit-norm wigner times the "component"
+    sqrt(2l3+1)), leaving at most a per-(l1,l2,l3) SIGN between the two
+    intertwiner bases — supply measured signs via ``sign_overrides``
+    ({(l1, l2, l3): +-1.0}, default +1).
+
+    Args:
+        hk_params: haiku params dict (module path -> {name: array}).
+        model: the flax SEGNN instance to import into.
+        sample: one (features, particle_type) sample for model.init.
+        allow_unvalidated: must be True; guards silent corruption.
+        forward_alpha: "folded" (assumed e3nn behavior) — reserved knob
+            for the alternative per-path forward multiplier convention.
+        sign_overrides: per-CG-triple sign corrections.
+    """
+    if not allow_unvalidated:
+        raise NotImplementedError(
+            "haiku_segnn_to_flax is a numerically UNVALIDATED draft (no "
+            "e3nn-jax in the build environment to validate against — "
+            "PARITY.md). Pass allow_unvalidated=True to run it anyway."
+        )
+    assert forward_alpha == "folded", "only the 'folded' model is drafted"
+    from .models.e3.irreps import Irreps
+
+    signs = sign_overrides or {}
+    params, specs = segnn_site_specs(model, sample)
+    problems = []
+    out = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params)
+
+    consumed = set()
+    for flax_path, (x_s, y_s, o_s) in specs.items():
+        x_ir, y_ir, o_ir = Irreps(x_s), Irreps(y_s), Irreps(o_s)
+        stem = _segnn_haiku_stem(flax_path)
+        hk_key = f"{stem}/~/linear"
+        consumed.add(hk_key)
+        if hk_key not in hk_params:
+            problems.append(f"missing haiku module {hk_key!r} "
+                            f"(for flax site {flax_path})")
+            continue
+        hk_mod = hk_params[hk_key]
+        in_groups, rows = _e3nn_tp_output_groups(x_ir, y_ir)
+        out_groups, colmap = _e3nn_out_groups(o_ir)
+
+        # cross-check every parsed haiku name against the expectation
+        weights = {}
+        biases = {}
+        for name, arr in hk_mod.items():
+            parsed = _parse_e3nn_param_name(name)
+            if parsed is None:
+                problems.append(f"{hk_key}: unrecognized param {name!r}")
+                continue
+            kind, a, b = parsed
+            if kind == "w":
+                exp = (in_groups[a][0], out_groups[b][0])
+                if tuple(arr.shape) != exp:
+                    problems.append(
+                        f"{hk_key}/{name}: shape {arr.shape}, expected "
+                        f"{exp} from groups in={in_groups} out={out_groups}"
+                    )
+                weights[(a, b)] = np.asarray(arr)
+            else:
+                biases[b] = np.asarray(arr)
+
+        # assemble MY parameter blocks (same path enumeration as
+        # models/e3/tensor.py)
+        node = out
+        for p in flax_path.split("/"):
+            node = node[p]
+        for k_out, g_out in enumerate(o_ir):
+            paths = [
+                (i, j)
+                for i, gx in enumerate(x_ir)
+                for j, gy in enumerate(y_ir)
+                if g_out.ir in gx.ir * gy.ir
+            ]
+            use_bias = f"b_{k_out}" in node
+            fan_in = sum(
+                x_ir[i].mul * y_ir[j].mul for i, j in paths
+            ) + int(use_bias)
+            scale = float(np.sqrt(fan_in))
+            b_grp, c_off = colmap[k_out]
+            for i, j in paths:
+                a_grp, r_off = rows[(i, j, g_out.ir)]
+                w_name = f"w_{k_out}_{i}_{j}"
+                if (a_grp, b_grp) not in weights:
+                    problems.append(
+                        f"{hk_key}: no w[{a_grp},{b_grp}] for flax "
+                        f"{flax_path}/{w_name}"
+                    )
+                    continue
+                blk = weights[(a_grp, b_grp)][
+                    r_off : r_off + x_ir[i].mul * y_ir[j].mul,
+                    c_off : c_off + g_out.mul,
+                ]
+                if blk.shape != node[w_name].shape:
+                    problems.append(
+                        f"{hk_key}: slice for {flax_path}/{w_name} has "
+                        f"shape {blk.shape}, flax expects "
+                        f"{node[w_name].shape}"
+                    )
+                    continue
+                y_l = y_ir[j].ir.l
+                s = signs.get((x_ir[i].ir.l, y_l, g_out.ir.l), 1.0)
+                node[w_name] = (blk * (scale * s)).astype(np.float32)
+            if use_bias:
+                if b_grp not in biases:
+                    problems.append(
+                        f"{hk_key}: no b[{b_grp}] for flax "
+                        f"{flax_path}/b_{k_out}"
+                    )
+                    continue
+                # my bias adds AFTER the alpha multiply, e3nn's bias
+                # instruction has path weight 1 under "element" — copied
+                # unscaled
+                node[f"b_{k_out}"] = biases[b_grp][
+                    c_off : c_off + g_out.mul
+                ].astype(np.float32)
+
+    # the loud-fail must be bidirectional: a haiku module the mapping
+    # never consumed means the spec's module table is wrong/incomplete
+    # (e.g. a BatchNorm variant or an edge-embedding branch we dropped)
+    for hk_key in hk_params:
+        if hk_key not in consumed:
+            problems.append(f"haiku module {hk_key!r} not consumed by the "
+                            "flax site map")
+
+    if problems:
+        raise ValueError(
+            "haiku_segnn_to_flax: structural mismatches between the "
+            "checkpoint and the encoded spec (fix the spec constants, "
+            "PARITY.md):\n  - " + "\n  - ".join(problems[:40])
+            + (f"\n  ... and {len(problems) - 40} more" if len(problems) > 40
+               else "")
+        )
+    return out
 
 
 _IMPORTERS = {

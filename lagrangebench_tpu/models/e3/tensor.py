@@ -34,6 +34,13 @@ from .basis import clebsch_gordan
 from .irreps import Irrep, Irreps, IrrepsArray, MulIrrep
 
 
+# When True, O3TensorProduct sows its (x, y, out) irreps signature into a
+# "site_spec" variable collection at init. Off by default: the sown strings
+# are not jittable, and importers (compat.segnn_site_specs) are the only
+# consumer — they flip this around an un-jitted model.init.
+_CAPTURE_SITE_SPECS = False
+
+
 def _enumerate_paths(
     irreps_x: Irreps, irreps_y: Irreps, ir_out: Irrep
 ) -> List[Tuple[int, int]]:
@@ -68,6 +75,18 @@ class O3TensorProduct(nn.Module):
                 Irreps("1x0e"), jnp.ones(x.shape[:-1] + (1,), jnp.float32)
             )
         output_irreps = Irreps(self.output_irreps)
+
+        if _CAPTURE_SITE_SPECS and self.is_initializing():
+            # record the site signature for checkpoint importers
+            # (compat.haiku_segnn_to_flax): the (x, y, out) irreps fully
+            # determine this site's path enumeration and weight layout
+            self.sow(
+                "site_spec",
+                "irreps",
+                (str(x.irreps), str(y.irreps), str(output_irreps)),
+                init_fn=lambda: None,
+                reduce_fn=lambda prev, cur: cur,
+            )
 
         x_parts = x.parts()
         y_parts = y.parts()

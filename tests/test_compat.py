@@ -531,3 +531,141 @@ def test_linear_export_roundtrip():
     hk_p = flax_linear_to_haiku(flax_p)
     assert set(hk_p) == {"linear/~/linear"}
     _assert_pytrees_equal(haiku_linear_to_flax(hk_p), flax_p)
+
+
+# ---------------------------------------------------------------------------
+# SEGNN importer DRAFT (numerically UNVALIDATED — no e3nn-jax in this env).
+# These tests pin the parts that ARE checkable here: the guard flag, the
+# structural self-consistency of the encoded e3nn-layout spec (a synthetic
+# checkpoint with exactly the spec's module names/shapes imports cleanly and
+# populates every flax parameter), and the loud-fail on any mismatch.
+# ---------------------------------------------------------------------------
+
+SEG_ISL, SEG_N, SEG_E = 6, 12, 40
+
+
+def _segnn_model_and_sample():
+    from lagrangebench_tpu.models.e3 import Irreps
+    from lagrangebench_tpu.models.segnn import SEGNN, node_feature_irreps
+
+    metadata = {
+        "dim": 3,
+        "periodic_boundary_conditions": [True] * 3,
+        "bounds": [[0.0, 1.0]] * 3,
+    }
+    model = SEGNN(
+        node_features_irreps=node_feature_irreps(
+            metadata, SEG_ISL, False, False, True
+        ),
+        edge_features_irreps=Irreps("1x1o + 1x0e"),
+        scalar_units=8, lmax_hidden=1, lmax_attributes=1,
+        output_irreps=Irreps("1x1o"), num_mp_steps=2, n_vels=SEG_ISL - 1,
+    )
+    rng = np.random.default_rng(3)
+    k = SEG_ISL - 1
+    pos = rng.uniform(0, 1, size=(SEG_N, SEG_ISL, 3)) * 0.1
+    receivers = np.sort(rng.integers(0, SEG_N, size=SEG_E))
+    senders = rng.integers(0, SEG_N, size=SEG_E)
+    rel = (pos[:, -1][receivers] - pos[:, -1][senders]) / 0.3
+    features = {
+        "abs_pos": pos,
+        "vel_hist": np.diff(pos, axis=1).reshape(SEG_N, k * 3),
+        "rel_disp": rel,
+        "rel_dist": np.linalg.norm(rel, axis=-1, keepdims=True),
+        "receivers": receivers.astype(np.int32),
+        "senders": senders.astype(np.int32),
+    }
+    return model, (features, np.zeros(SEG_N, np.int32))
+
+
+def _synthetic_e3nn_checkpoint(model, sample, rng):
+    """A haiku params dict with exactly the layout the draft spec expects
+    (module paths + e3nn Linear names/shapes), random values."""
+    from lagrangebench_tpu.compat import (
+        _e3nn_out_groups,
+        _e3nn_tp_output_groups,
+        _segnn_haiku_stem,
+        segnn_site_specs,
+    )
+    from lagrangebench_tpu.models.e3.irreps import Irreps
+
+    _, specs = segnn_site_specs(model, sample)
+    hk = {}
+    for flax_path, (x_s, y_s, o_s) in specs.items():
+        x_ir, y_ir, o_ir = Irreps(x_s), Irreps(y_s), Irreps(o_s)
+        in_groups, _ = _e3nn_tp_output_groups(x_ir, y_ir)
+        out_groups, _ = _e3nn_out_groups(o_ir)
+        mod = {}
+        for a, (mul_a, ir_a) in enumerate(in_groups):
+            for b, (mul_b, ir_b) in enumerate(out_groups):
+                if ir_a == ir_b:
+                    mod[f"w[{a},{b}] {mul_a}x,{mul_b}x"] = rng.normal(
+                        size=(mul_a, mul_b)
+                    ).astype(np.float32)
+        for b, (mul_b, irlp) in enumerate(out_groups):
+            if irlp == (0, 1):  # e3nn biases scalar outputs only
+                mod[f"b[{b}] {mul_b}x0e"] = rng.normal(size=(mul_b,)).astype(
+                    np.float32
+                )
+        hk[f"{_segnn_haiku_stem(flax_path)}/~/linear"] = mod
+    return hk
+
+
+def test_segnn_importer_refuses_without_flag():
+    from lagrangebench_tpu.compat import haiku_segnn_to_flax
+
+    model, sample = _segnn_model_and_sample()
+    with pytest.raises(NotImplementedError, match="UNVALIDATED"):
+        haiku_segnn_to_flax({}, model, sample)
+
+
+def test_segnn_importer_structural_selfcheck():
+    from lagrangebench_tpu.compat import haiku_segnn_to_flax
+
+    model, sample = _segnn_model_and_sample()
+    hk = _synthetic_e3nn_checkpoint(model, sample, np.random.default_rng(0))
+    out = haiku_segnn_to_flax(hk, model, sample, allow_unvalidated=True)
+
+    # exact structure of a fresh init, every block populated (the synthetic
+    # weights are iid normal — an untouched zero block would betray a
+    # mapping hole)
+    ref_params, _ = make_model_fns(model)[0](jax.random.PRNGKey(0), sample)
+    assert jax.tree.structure(out) == jax.tree.structure(ref_params)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(out):
+        ref_leaf = ref_params
+        for k in path:
+            ref_leaf = ref_leaf[k.key]
+        assert leaf.shape == np.asarray(ref_leaf).shape, path
+        assert np.any(leaf != 0.0), f"unpopulated block {path}"
+
+    # forward with imported params runs and is finite
+    _, apply = make_model_fns(model)
+    pred, _ = apply(jax.tree.map(jnp.asarray, out), {}, sample)
+    assert np.all(np.isfinite(np.asarray(pred["acc"])))
+
+
+def test_segnn_importer_fails_loudly_on_mismatch():
+    from lagrangebench_tpu.compat import haiku_segnn_to_flax
+
+    model, sample = _segnn_model_and_sample()
+    hk = _synthetic_e3nn_checkpoint(model, sample, np.random.default_rng(1))
+
+    # (a) a module the checkpoint lacks
+    broken = dict(hk)
+    del broken["segnn/~/embedding_nodes/~/linear"]
+    with pytest.raises(ValueError, match="missing haiku module"):
+        haiku_segnn_to_flax(broken, model, sample, allow_unvalidated=True)
+
+    # (b) a module the mapping does not know
+    broken = dict(hk)
+    broken["segnn/~/embedding_msg_features/~/linear"] = {}
+    with pytest.raises(ValueError, match="not consumed"):
+        haiku_segnn_to_flax(broken, model, sample, allow_unvalidated=True)
+
+    # (c) a weight whose shape contradicts the spec
+    broken = {k: dict(v) for k, v in hk.items()}
+    key = "segnn/~/output/~/linear"
+    wname = next(n for n in broken[key] if n.startswith("w["))
+    broken[key][wname] = np.zeros((1, 1), np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        haiku_segnn_to_flax(broken, model, sample, allow_unvalidated=True)
