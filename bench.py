@@ -28,6 +28,7 @@ def run_bench(
     batch_size: int = 1,
     use_fused_processor: bool = True,
     nl_multiplier: float = 1.25,
+    emit_geometry: bool = None,
 ):
     """Single-chip rollout throughput; batch_size > 1 vmaps trajectories
     (production rollouts are batched, reference eval default batch is 2).
@@ -57,12 +58,16 @@ def run_bench(
 
     if n_steps is None:
         n_steps = int(_os.environ.get("BENCH_STEPS", "50"))
+    if emit_geometry is None:
+        emit_geometry = bool(int(_os.environ.get("BENCH_EMIT_GEOM", "1")))
     import jax as _jax
 
     if backend == "pallas" and _jax.default_backend() != "tpu":
         backend = "celllist"  # pallas interpret mode is impractically slow
     if _jax.default_backend() != "tpu":
         use_fused_processor = False
+    if backend != "pallas":
+        emit_geometry = False  # in-kernel geometry is a pallas-NL feature
     import jax
     import jax.numpy as jnp
 
@@ -77,6 +82,7 @@ def run_bench(
         compute_dtype=compute_dtype,
         use_fused_processor=use_fused_processor,
         nl_multiplier=nl_multiplier,
+        emit_geometry=emit_geometry,
     )
 
     pos = _grid_positions(n_particles, dim, 1.0, isl)
@@ -194,6 +200,7 @@ def run_bench(
             "compute_dtype": compute_dtype,
             "batch_size": batch_size,
             "fused_processor": use_fused_processor,
+            "emit_geometry": emit_geometry,
             "device": str(jax.devices()[0]),
         },
     }

@@ -113,6 +113,7 @@ def case_builder(
         num_particles_max=metadata["num_particles_max"],
         pbc=pbc,
         format=cfg_neighbors.get("format", "dense"),
+        emit_geometry=bool(cfg_neighbors.get("emit_geometry", False)),
     )
 
     feature_transform = physical_feature_builder(
@@ -217,11 +218,20 @@ def case_builder(
             idx_flat = jnp.where(idx < n, idx + off, b * n).reshape(
                 b * n, idx.shape[-1]
             )
+            # in-kernel edge geometry (emit_geometry) is per-sample row
+            # blocks — flatten to super-graph rows alongside the indices
+            flat_aux = None
+            if getattr(neighbors, "aux", None):
+                flat_aux = {
+                    k: v.reshape((b * n,) + v.shape[2:])
+                    for k, v in neighbors.aux.items()
+                }
             flat_nbrs = nb.NeighborList(
                 idx=idx_flat,
                 did_buffer_overflow=jnp.any(neighbors.did_buffer_overflow),
                 update_fn=neighbors.update_fn,
                 format="dense",
+                aux=flat_aux,
             )
             features = feature_transform(
                 pos_flat[:, :input_seq_length], flat_nbrs

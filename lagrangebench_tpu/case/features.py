@@ -110,6 +110,15 @@ def physical_feature_builder(
             edge_disp = disp_vmap(most_recent[receivers], most_recent[senders])
             rel_disp = edge_disp / connectivity_radius
             rel_dist = space.distance(rel_disp)[:, None]
+        elif getattr(nbrs, "aux", None) and "rel_disp" in nbrs.aux:
+            # dense + in-kernel geometry (ops/neighbors_pallas
+            # emit_geometry): the NL kernel already min-imaged and
+            # cutoff-normalized the edge displacements in VMEM — no
+            # sender-position gather here at all
+            senders = nbrs.idx
+            receivers = jax.lax.broadcasted_iota(jnp.int32, senders.shape, 0)
+            rel_disp = nbrs.aux["rel_disp"]
+            rel_dist = nbrs.aux["rel_dist"]
         else:
             # dense (N, K): row i is receiver i; senders fill with N
             senders = nbrs.idx

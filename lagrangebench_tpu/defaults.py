@@ -145,6 +145,11 @@ def set_defaults() -> Config:
     # path (scatter-free build + aggregation); "sparse" (2, E) compacted
     # edges — the reference-compatible layout
     cfg.neighbors.format = "dense"
+    # dense+pallas only: the NL kernel emits min-imaged, cutoff-normalized
+    # edge geometry (rel_disp/rel_dist) alongside sender ids in one
+    # combined scatter, and the feature chain skips its sender-position
+    # gather (ops/neighbors_pallas.py). Ignored on non-pallas backends.
+    cfg.neighbors.emit_geometry = False
 
     # -- parallelism (new vs reference: ICI data parallelism) -------------
     cfg.parallel = Config()

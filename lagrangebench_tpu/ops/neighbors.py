@@ -441,6 +441,7 @@ def neighbor_list(
     pbc: Optional[Sequence[bool]] = None,
     mask_self: bool = False,
     format: str = "sparse",
+    emit_geometry: bool = False,
 ) -> NeighborListFns:
     """Create allocate/update functions for a fixed-capacity radius graph.
 
@@ -466,6 +467,12 @@ def neighbor_list(
             edges, geometry and node maps stay in column-slot order so the
             fused processor reads sender state from stencil-column slabs
             instead of an (N, K, latent) HBM gather.
+        emit_geometry: dense+pallas only — the NL kernel additionally
+            emits cutoff-normalized edge geometry (rel_disp/rel_dist,
+            min-imaged in VMEM) and the update's NeighborList carries it
+            as ``aux``; the feature chain (case/features.py) then skips
+            its sender-position gather. Ignored (geometry-free lists)
+            when an allocation falls back to a non-pallas backend.
     """
     assert format in ("sparse", "dense", "slot"), format
     assert not mask_self, "reference semantics keep self-edges (mask_self=False)"
@@ -580,7 +587,10 @@ def neighbor_list(
                     # grows ~N^(1/3), so very large systems have no
                     # admissible column grid at all
                     cw = (3 ** (len(box) - 1)) * cap
-                    if cap * cw * 32 + cw * cw * 2 >= _kernel_vmem_budget():
+                    # factor mirrors neighbors_pallas.make_edges_fn's
+                    # estimate (+dim planes live when emitting geometry)
+                    vm_factor = 32 + (4 * dim if emit_geometry else 0)
+                    if cap * cw * vm_factor + cw * cw * 2 >= _kernel_vmem_budget():
                         continue
                     cost = n_bins * cap * cap
                     if best is None or cost < best[0]:
@@ -719,8 +729,42 @@ def neighbor_list(
         if format == "dense":
             if eff_backend == "pallas":
                 edges = edges_fn_factory(
-                    e_cap=e_cap, cell_cap=cell_cap, grid=col_grid
+                    e_cap=e_cap, cell_cap=cell_cap, grid=col_grid,
+                    emit_geometry=emit_geometry,
                 )
+                if emit_geometry:
+
+                    @jax.jit
+                    def _update_geom_jit(position, prev_overflow,
+                                         num_particles):
+                        idx, geom, overflow = edges(position, num_particles)
+                        return idx, geom, overflow | prev_overflow
+
+                    def update_geom(position, neighbors=None,
+                                    num_particles=None, **kwargs):
+                        n = position.shape[0]
+                        npart = n if num_particles is None else num_particles
+                        prev = (
+                            neighbors.did_buffer_overflow
+                            if neighbors is not None
+                            else jnp.asarray(False)
+                        )
+                        idx, geom, overflow = _update_geom_jit(
+                            position, prev, npart
+                        )
+                        d = geom.shape[-1] - 1
+                        return NeighborList(
+                            idx=idx,
+                            did_buffer_overflow=overflow,
+                            update_fn=update_geom,
+                            format="dense",
+                            aux={
+                                "rel_disp": geom[..., :d],
+                                "rel_dist": geom[..., d:],
+                            },
+                        )
+
+                    return update_geom
             elif eff_backend == "celllist":
                 def edges(position, num_particles):
                     return _celllist_dense(
@@ -826,6 +870,13 @@ def neighbor_list(
             }
         elif format == "dense":
             idx = jnp.full((n, e_cap), n, dtype=jnp.int32)
+            if emit_geometry and eff_backend == "pallas":
+                # match the update's pytree structure (see slot note above)
+                dim_ = position.shape[-1]
+                aux = {
+                    "rel_disp": jnp.zeros((n, e_cap, dim_), jnp.float32),
+                    "rel_dist": jnp.zeros((n, e_cap, 1), jnp.float32),
+                }
         else:
             idx = jnp.full((2, e_cap), n, dtype=jnp.int32)
         return NeighborList(

@@ -66,6 +66,14 @@ def _scan_kernel(
     ``emit`` selects the packed payload:
         "senders" — per-slot sender PARTICLE ids (fill n_particles), the
             particle-order dense format (scattered back by the caller);
+        "geometry" — sender ids PLUS one interleaved geometry plane
+            (Ccol, K*(dim+1)) holding the cutoff-normalized per-axis
+            displacement and distance per slot, component-minor — i.e.
+            exactly the raw edge-feature layout the models consume
+            (concat(rel_disp, rel_dist) reshaped flat). The caller
+            scatters both back to particle order in ONE combined
+            scatter, and the feature chain skips its sender-position
+            gather + min-image entirely;
         "slot" — per-slot stencil-candidate index in [0, S*Ccol) (fill
             S*Ccol) PLUS the cutoff-normalized per-axis displacement and
             distance, all in column-slot order. This is the slot-space
@@ -96,7 +104,7 @@ def _scan_kernel(
             # lowering trips a pallas/mosaic lowering-cache bug, and the
             # half-way case is measure-zero here
             diff = diff - box[dd] * jnp.floor(diff * (1.0 / box[dd]) + 0.5)
-        if emit == "slot":
+        if emit in ("slot", "geometry"):
             diffs.append(diff)
         dist2 = diff * diff if dist2 is None else dist2 + diff * diff
     mask = (dist2 <= cutoff2) & (widx < n_particles)
@@ -113,18 +121,21 @@ def _scan_kernel(
                    preferred_element_type=jnp.float32)
     slot = jnp.where(mask, csum.astype(jnp.int32) - 1, -1)
 
-    # the packed payloads: sender ids (or candidate positions) + geometry
-    if emit == "slot":
+    # the packed payloads: sender ids (or candidate indices) + geometry
+    if emit in ("slot", "geometry"):
         inv_cutoff = 1.0 / float(cutoff2) ** 0.5
-        cand_f = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1).astype(
-            jnp.float32
-        )  # candidate index within the stencil
-        payloads = [cand_f] + [d * inv_cutoff for d in diffs] + [
+        geom = [d * inv_cutoff for d in diffs] + [
             jnp.sqrt(dist2) * inv_cutoff
         ]
     else:
+        geom = []
+    if emit == "slot":
+        cand_f = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1).astype(
+            jnp.float32
+        )  # candidate index within the stencil
+    else:
         cand_f = widx.astype(jnp.float32)  # (1, S*Ccol)
-        payloads = [cand_f]
+    payloads = [cand_f] + geom
 
     # per-output-slot selection, unrolled over K to keep peak VMEM at a few
     # (Ccol, S*Ccol) temporaries (a (.., .., K) one-hot blows the budget);
@@ -134,21 +145,41 @@ def _scan_kernel(
         sel = (slot == k).astype(jnp.float32)
         for pi, pay in enumerate(payloads):
             cols[pi].append(jnp.sum(sel * pay, axis=1, keepdims=True))
-    packed = [jnp.concatenate(c, axis=1) for c in cols]  # (Ccol, K) each
     counts = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
     # invalid receiver slots accumulate garbage min-image distances; their
     # sentinel position (1e9, far beyond any box) gates them out
     recv_valid = rp[:, 0:1] < 1e8
     counts = jnp.where(recv_valid, counts, 0)
 
-    acc = packed[0]
+    acc = jnp.concatenate(cols[0], axis=1)  # (Ccol, K)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[0], k_cap), 1)
     valid_k = k_iota < counts
     fill = cw if emit == "slot" else n_particles
     out_refs[0][0] = jnp.where(valid_k, acc.astype(jnp.int32), fill)
-    for pi in range(1, len(payloads)):
-        out_refs[pi][0] = jnp.where(valid_k, packed[pi], 0.0)
-    ovf_ref = out_refs[len(payloads)]
+    if emit == "geometry":
+        # ONE interleaved (Ccol, K*(dim+1)) plane, component-minor — the
+        # flat raw-edge-feature layout (concat(rel_disp, rel_dist)); one
+        # output keeps the caller's scatter-back a single op
+        inter = [
+            cols[pi][k]
+            for k in range(k_cap)
+            for pi in range(1, len(payloads))
+        ]
+        geom_packed = jnp.concatenate(inter, axis=1)
+        gk = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (acc.shape[0], geom_packed.shape[1]), 1
+            )
+            // (ndim + 1)
+        )
+        out_refs[1][0] = jnp.where(gk < counts, geom_packed, 0.0)
+        n_payload_outs = 2
+    else:
+        for pi in range(1, len(payloads)):
+            packed = jnp.concatenate(cols[pi], axis=1)
+            out_refs[pi][0] = jnp.where(valid_k, packed, 0.0)
+        n_payload_outs = len(payloads)
+    ovf_ref = out_refs[n_payload_outs]
     ovf_ref[0] = jnp.max(counts).reshape(1, 1)
 
 
@@ -330,10 +361,17 @@ def make_edges_fn(
     cell_cap: int,  # per-COLUMN capacity for the pallas backend
     box: Optional[Sequence[float]] = None,
     interpret: Optional[bool] = None,
+    emit_geometry: bool = False,
 ):
     """Build the dense pallas edge function for a fixed grid/capacity.
 
-    Returns fn(position, num_particles) -> (senders (N, K), overflow).
+    Returns fn(position, num_particles) -> (senders (N, K), overflow), or
+    with ``emit_geometry`` -> (senders, geometry (N, K, dim+1), overflow)
+    where geometry is cutoff-normalized [rel_disp, rel_dist] computed
+    in-kernel (the per-axis min-imaged differences already exist in VMEM
+    for the distance test) and scattered back to particle order together
+    with the sender ids in ONE combined scatter — the feature chain then
+    skips its (N, K, dim) sender-position gather + min-image entirely.
     """
     assert grid is not None, "pallas backend needs a cell grid"
     dim = len(grid.cells_per_side)
@@ -394,8 +432,11 @@ def make_edges_fn(
     pbc_t = tuple(bool(p) for p in grid.pbc)
 
     cw = n_steps * C
-    # a few (C, CW) temporaries + the (CW, CW) triangle dominate VMEM
-    vmem_estimate = C * cw * 4 * 8 + cw * cw * 2
+    # a few (C, CW) temporaries + the (CW, CW) triangle dominate VMEM;
+    # geometry emission keeps the per-axis difference planes live
+    vmem_estimate = (
+        C * cw * 4 * (8 + (dim if emit_geometry else 0)) + cw * cw * 2
+    )
     assert vmem_estimate < nb._kernel_vmem_budget(), (
         f"column capacity {C} too large for the pallas kernel's VMEM "
         "budget; use the celllist backend"
@@ -469,6 +510,7 @@ def make_edges_fn(
             n_steps=n_steps,
             box=box_t,
             pbc=pbc_t,
+            emit="geometry" if emit_geometry else "senders",
         )
 
         # flat-row base table: sample bb's stencil step j for tile t reads
@@ -492,6 +534,23 @@ def make_edges_fn(
                 memory_space=pltpu.VMEM,
             )
 
+        geom_w = k_cap * (dim + 1)
+        geom_specs = (
+            [
+                pl.BlockSpec(
+                    (1, C, geom_w),
+                    lambda bb, t, b: (bb * n_tiles + t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            if emit_geometry
+            else []
+        )
+        geom_shapes = (
+            [jax.ShapeDtypeStruct((bsz * n_tiles, C, geom_w), jnp.float32)]
+            if emit_geometry
+            else []
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bsz, n_tiles),
@@ -509,7 +568,10 @@ def make_edges_fn(
                     (1, C, k_cap),
                     lambda bb, t, b: (bb * n_tiles + t, 0, 0),
                     memory_space=pltpu.VMEM,
-                ),
+                )
+            ]
+            + geom_specs
+            + [
                 pl.BlockSpec(
                     (1, 1, 1),
                     lambda bb, t, b: (bb * n_tiles + t, 0, 0),
@@ -520,11 +582,14 @@ def make_edges_fn(
         pos_f32 = pos_f.astype(jnp.float32)
         pos_t = jnp.transpose(pos_f32, (0, 2, 1))
         idx_r = idx_f.reshape(bsz * (n_cols + 1), 1, C)
-        slot_senders, ovf = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((bsz * n_tiles, C, k_cap), jnp.int32),
+            ]
+            + geom_shapes
+            + [
                 jax.ShapeDtypeStruct((bsz * n_tiles, 1, 1), jnp.int32),
             ],
             interpret=interpret,
@@ -534,6 +599,7 @@ def make_edges_fn(
             *([pos_t] * n_steps),
             *([idx_r] * n_steps),
         )
+        slot_senders, ovf = outs[0], outs[-1]
 
         # kernel emits interior columns only; scatter rows back to
         # per-sample particle order (invalid slots land out of range)
@@ -545,9 +611,35 @@ def make_edges_fn(
             bsz * n,
         ).reshape(-1)
 
-        senders = jnp.full((bsz * n, k_cap), n, dtype=jnp.int32)
-        senders = senders.at[slots].set(rows, mode="drop")
-        senders = senders.reshape(bsz, n, k_cap)
+        geom = None
+        if emit_geometry:
+            # ONE combined scatter: sender ids ride bitcast-as-f32 next to
+            # the geometry plane, so widening the payload adds no second
+            # scatter kernel
+            rows_g = outs[1].reshape(-1, geom_w)
+            rows_c = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(rows, jnp.float32), rows_g],
+                axis=1,
+            )
+            fill_bits = jax.lax.bitcast_convert_type(
+                jnp.int32(n), jnp.float32
+            )
+            dest = jnp.concatenate(
+                [
+                    jnp.full((bsz * n, k_cap), fill_bits, jnp.float32),
+                    jnp.zeros((bsz * n, geom_w), jnp.float32),
+                ],
+                axis=1,
+            )
+            dest = dest.at[slots].set(rows_c, mode="drop")
+            senders = jax.lax.bitcast_convert_type(
+                dest[:, :k_cap], jnp.int32
+            ).reshape(bsz, n, k_cap)
+            geom = dest[:, k_cap:].reshape(bsz, n, k_cap, dim + 1)
+        else:
+            senders = jnp.full((bsz * n, k_cap), n, dtype=jnp.int32)
+            senders = senders.at[slots].set(rows, mode="drop")
+            senders = senders.reshape(bsz, n, k_cap)
 
         max_rowcount = jnp.max(ovf.reshape(bsz, n_tiles), axis=1)
         # col_overflow comes from the SHARED counting-sort table, so one
@@ -558,17 +650,11 @@ def make_edges_fn(
         # bigger cap — is batch-wide anyway; a per-sample flag would
         # trigger the same rebuild.
         overflow = (max_rowcount > k_cap) | col_overflow
+        if emit_geometry:
+            return senders, geom, overflow
         return senders, overflow
 
-    @jax.custom_batching.custom_vmap
-    def edges(position: jnp.ndarray, num_particles) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        npart = jnp.asarray(num_particles, jnp.int32)
-        senders, overflow = _edges_impl(position[None], npart[None])
-        return senders[0], overflow[0]
-
-    @edges.def_vmap
-    def _edges_vmap_rule(axis_size, in_batched, position, num_particles):
-        """Batched NL updates share one pallas launch (grid over the batch)."""
+    def _bcast_args(axis_size, in_batched, position, num_particles):
         pos_b, np_b = in_batched
         if not pos_b:
             position = jnp.broadcast_to(
@@ -577,8 +663,43 @@ def make_edges_fn(
         npart = jnp.asarray(num_particles, jnp.int32)
         if not np_b:
             npart = jnp.broadcast_to(npart, (axis_size,))
-        senders, overflow = _edges_impl(position, npart)
-        return (senders, overflow), (True, True)
+        return position, npart
+
+    if emit_geometry:
+
+        @jax.custom_batching.custom_vmap
+        def edges(position: jnp.ndarray, num_particles):
+            npart = jnp.asarray(num_particles, jnp.int32)
+            senders, geom, overflow = _edges_impl(position[None], npart[None])
+            return senders[0], geom[0], overflow[0]
+
+        @edges.def_vmap
+        def _edges_vmap_rule(axis_size, in_batched, position, num_particles):
+            """Batched NL updates share one pallas launch (grid over batch)."""
+            position, npart = _bcast_args(
+                axis_size, in_batched, position, num_particles
+            )
+            senders, geom, overflow = _edges_impl(position, npart)
+            return (senders, geom, overflow), (True, True, True)
+
+    else:
+
+        @jax.custom_batching.custom_vmap
+        def edges(
+            position: jnp.ndarray, num_particles
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            npart = jnp.asarray(num_particles, jnp.int32)
+            senders, overflow = _edges_impl(position[None], npart[None])
+            return senders[0], overflow[0]
+
+        @edges.def_vmap
+        def _edges_vmap_rule(axis_size, in_batched, position, num_particles):
+            """Batched NL updates share one pallas launch (grid over batch)."""
+            position, npart = _bcast_args(
+                axis_size, in_batched, position, num_particles
+            )
+            senders, overflow = _edges_impl(position, npart)
+            return (senders, overflow), (True, True)
 
     return edges
 

@@ -213,3 +213,94 @@ def test_noise_folding_in_stats(setup):
     s = get_dataset_stats(md, is_isotropic_norm=False, noise_std=1.0)
     np.testing.assert_allclose(np.asarray(s["acceleration"]["std"]), np.sqrt(5.0))
     np.testing.assert_allclose(np.asarray(s["velocity"]["std"]), np.sqrt(10.0))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel edge geometry (neighbors.emit_geometry) through the full case
+# ---------------------------------------------------------------------------
+
+
+def _geom_case(emit_geometry):
+    n, dim, box, r = 96, 3, 2.0, 0.31
+    metadata = {
+        "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "default_connectivity_radius": r,
+        "bounds": [[0.0, box]] * dim,
+        "acc_mean": [0.0] * dim, "acc_std": [1.0] * dim,
+        "vel_mean": [0.0] * dim, "vel_std": [1.0] * dim,
+        "dim": dim,
+    }
+    return case_builder(
+        box=[box] * dim,
+        metadata=metadata,
+        input_seq_length=ISL,
+        cfg_neighbors={
+            "backend": "pallas", "multiplier": 1.25, "format": "dense",
+            "emit_geometry": emit_geometry,
+        },
+        cfg_model={"isotropic_norm": False, "magnitude_features": False},
+        noise_std=0.0,
+        external_force_fn=None,
+        dtype=jnp.float32,
+    ), n, dim, box
+
+
+def test_preprocess_emit_geometry_matches_gather_path():
+    """Full preprocess with the NL kernel emitting geometry == the
+    sender-position-gather feature chain, single-sample and batched."""
+    case_g, n, dim, box = _geom_case(True)
+    case_p, *_ = _geom_case(False)
+    rng = np.random.default_rng(5)
+    pos = np.cumsum(
+        rng.normal(0.0, 0.01, size=(n, ISL + 2, dim)), axis=1
+    ) + rng.uniform(0, box, size=(n, 1, dim))
+    pos = np.mod(pos, box)
+    ptype = np.zeros(n, np.int64)
+    key = jax.random.PRNGKey(0)
+
+    _, feats_g, tgt_g, nbrs_g = case_g.allocate(key, (pos, ptype))
+    _, feats_p, tgt_p, nbrs_p = case_p.allocate(key, (pos, ptype))
+    assert not bool(nbrs_g.did_buffer_overflow)
+
+    np.testing.assert_array_equal(
+        np.asarray(feats_g["senders"]), np.asarray(feats_p["senders"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats_g["rel_disp"]), np.asarray(feats_p["rel_disp"]),
+        rtol=3e-5, atol=3e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats_g["rel_dist"]), np.asarray(feats_p["rel_dist"]),
+        rtol=3e-5, atol=3e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats_g["vel_hist"]), np.asarray(feats_p["vel_hist"]),
+        rtol=1e-6,
+    )
+    for k in tgt_g:
+        np.testing.assert_allclose(
+            np.asarray(tgt_g[k]), np.asarray(tgt_p[k]), rtol=1e-6
+        )
+
+    # batched flat super-graph path carries the kernel geometry through
+    from lagrangebench_tpu.utils import broadcast_to_batch
+
+    bsz = 2
+    pos_b = np.stack([pos, np.mod(pos + 0.1, box)])
+    ptype_b = np.broadcast_to(ptype, (bsz, n))
+    nbrs_b = broadcast_to_batch(nbrs_g, bsz)
+    flat_feats, nbrs_b2 = case_g.preprocess_eval_batched(
+        (pos_b[:, :, :ISL], ptype_b), nbrs_b
+    )
+    assert not bool(jnp.any(nbrs_b2.did_buffer_overflow))
+    assert flat_feats["rel_disp"].shape == (bsz * n,) + feats_g["rel_disp"].shape[1:]
+    # sample 0 of the flat batch == the single-sample features
+    np.testing.assert_allclose(
+        np.asarray(flat_feats["rel_disp"][:n]),
+        np.asarray(feats_g["rel_disp"]), rtol=3e-5, atol=3e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(flat_feats["rel_dist"][:n]),
+        np.asarray(feats_g["rel_dist"]), rtol=3e-5, atol=3e-6,
+    )

@@ -249,3 +249,87 @@ def test_pallas_boost_beyond_vmem_falls_back():
     ref = base.update(pos)
     assert not bool(got.did_buffer_overflow)
     assert dense_edge_set(got, n) == dense_edge_set(ref, n)
+
+# ---------------------------------------------------------------------------
+# in-kernel edge geometry (emit_geometry)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("periodic_box", [True, False])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pallas_emit_geometry_matches_gather(periodic_box, dim):
+    """The kernel-emitted rel_disp/rel_dist equal the feature chain's
+    sender-position gather + min-image computation, slot for slot, and the
+    sender matrix is bit-identical to the geometry-free kernel's."""
+    rng = np.random.default_rng(7)
+    box, cutoff, n = 2.0, 0.31, 96
+    pos = rng.uniform(0, box, size=(n, dim))
+
+    disp, _ = periodic(box) if periodic_box else free()
+    kw = dict(backend="pallas", format="dense", pbc=[periodic_box] * dim)
+    fns_g = neighbor_list(disp, [box] * dim, cutoff, emit_geometry=True, **kw)
+    fns_p = neighbor_list(disp, [box] * dim, cutoff, **kw)
+
+    nbrs_g = fns_g.allocate(jnp.asarray(pos))
+    nbrs_p = fns_p.allocate(jnp.asarray(pos))
+    assert not bool(nbrs_g.did_buffer_overflow)
+    np.testing.assert_array_equal(
+        np.asarray(nbrs_g.idx), np.asarray(nbrs_p.idx)
+    )
+
+    senders = np.asarray(nbrs_g.idx)
+    got_disp = np.asarray(nbrs_g.aux["rel_disp"])
+    got_dist = np.asarray(nbrs_g.aux["rel_dist"])
+    assert got_disp.shape == senders.shape + (dim,)
+    assert got_dist.shape == senders.shape + (1,)
+
+    # the gather-path reference (case/features.py dense branch)
+    import jax
+
+    disp_vv = jax.vmap(jax.vmap(disp, in_axes=(0, 0)), in_axes=(0, 0))
+    recv = np.broadcast_to(pos[:, None, :], senders.shape + (dim,))
+    send = pos[np.minimum(senders, n - 1)]
+    want_disp = np.asarray(disp_vv(jnp.asarray(recv), jnp.asarray(send)))
+    valid = (senders < n)[..., None]
+    want_disp = np.where(valid, want_disp / cutoff, 0.0)
+    want_dist = np.linalg.norm(want_disp, axis=-1, keepdims=True)
+
+    np.testing.assert_allclose(got_disp, want_disp, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(got_dist, want_dist, rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_emit_geometry_batched_and_padded():
+    """Geometry survives the custom-vmap batched launch and padded rows
+    stay exactly zero."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    box, cutoff, n, bsz = 2.0, 0.4, 80, 3
+    dim = 3
+    disp, _ = periodic(box)
+    fns = neighbor_list(
+        disp, [box] * dim, cutoff, backend="pallas", format="dense",
+        emit_geometry=True,
+    )
+    pos_b = rng.uniform(0, box, size=(bsz, n, dim))
+    pos_b[:, 70:] = 0.0  # padded tail
+    npart = np.full((bsz,), 70, np.int32)
+
+    nbrs0 = fns.allocate(jnp.asarray(pos_b[0]), num_particles=70)
+    nbrs_b = jax.vmap(
+        lambda p, k: nbrs0.update(p, num_particles=k)
+    )(jnp.asarray(pos_b), jnp.asarray(npart))
+
+    for s in range(bsz):
+        single = nbrs0.update(jnp.asarray(pos_b[s]), num_particles=70)
+        np.testing.assert_array_equal(
+            np.asarray(nbrs_b.idx[s]), np.asarray(single.idx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(nbrs_b.aux["rel_disp"][s]),
+            np.asarray(single.aux["rel_disp"]),
+            rtol=1e-6,
+        )
+        # padded receiver rows: zero geometry
+        assert np.all(np.asarray(nbrs_b.aux["rel_disp"][s][70:]) == 0.0)
+        assert np.all(np.asarray(nbrs_b.aux["rel_dist"][s][70:]) == 0.0)
