@@ -81,6 +81,14 @@ def set_defaults() -> Config:
     cfg.train.step_max = 500_000
     cfg.train.num_workers = 2  # prefetcher threads
     cfg.train.noise_std = 3.0e-4  # GNS random-walk noise std at the last step
+    # How often (in steps) the trainer READS the neighbor-overflow flag.
+    # 1 = reference-exact per-batch retry, but the read is a blocking
+    # host<->device sync that stalls dispatch pipelining (a full ~28 ms
+    # round trip on remote-attached runtimes). >1 defers detection: the
+    # step's conditional commit makes every post-overflow step a no-op, so
+    # a late read loses at most sync_every-1 batches (skipped, never
+    # corrupted) per (rare) overflow event before the reallocation retry.
+    cfg.train.overflow_sync_every = 1
 
     cfg.train.optimizer = Config()
     cfg.train.optimizer.lr_start = 1.0e-4
@@ -190,6 +198,7 @@ def check_cfg(cfg: Config) -> None:
     assert cfg.dataset.src is not None, "dataset.src must be specified."
 
     assert cfg.model.input_seq_length >= 2, "At least two positions for one past vel."
+    assert int(cfg.train.get("overflow_sync_every", 1)) >= 1
 
     pf = cfg.train.pushforward
     assert len(pf.steps) == len(pf.unrolls) == len(pf.probs)

@@ -339,6 +339,9 @@ class Trainer:
         cfg_logging = self.cfg_logging
         noise_std = float(self.cfg_train.noise_std)
         pushforward = self.cfg_train.pushforward
+        overflow_sync_every = int(
+            self.cfg_train.get("overflow_sync_every", 1)
+        )
 
         # neighbor allocation + model init from the first batch
         first_batch = next(iter(self.loader_train))
@@ -399,7 +402,24 @@ class Trainer:
                         params, state, opt_state, keys, raw_batch,
                         neighbors_batch, noise_std, unroll_steps,
                     )
-                    if not bool(overflow):
+                    # Deferred overflow sync (train.overflow_sync_every>1):
+                    # reading the flag forces a host<->device round trip
+                    # every step (~28 ms on remote-attached runtimes, and a
+                    # dispatch-pipeline stall everywhere). The step's
+                    # conditional commit + the sticky overflow flag make
+                    # every post-overflow step a no-op, so the flag only
+                    # needs to be READ periodically: on late detection the
+                    # <sync_every skipped batches are lost (not corrupted)
+                    # and training resumes after one reallocation. =1
+                    # reproduces the reference's per-batch retry exactly.
+                    need_sync = (
+                        overflow_sync_every <= 1
+                        or attempt > 0
+                        or step % overflow_sync_every == 0
+                        or step % cfg_logging.log_steps == 0
+                        or (step % cfg_logging.eval_steps == 0 and step > 0)
+                    )
+                    if not need_sync or not bool(overflow):
                         break
                     if attempt == max_retries:
                         raise RuntimeError(

@@ -62,6 +62,7 @@ def make_trainer(env, tmp=None, **overrides):
             "pushforward", {"steps": [-1], "unrolls": [0], "probs": [1]}
         ),
     }
+    cfg_train.update(overrides.pop("cfg_train_extra", {}))
     cfg_eval = {
         "n_rollout_steps": 5,
         "train": {"n_trajs": 1, "metrics": ["mse"]},
@@ -116,3 +117,15 @@ def test_checkpoint_and_resume(env, tmp_path):
     trainer2 = make_trainer(env)
     params2, _, _ = trainer2.train(step_max=5, load_ckp=ckp)
     assert params2 is not None
+
+
+def test_deferred_overflow_sync_matches_per_step(env):
+    """train.overflow_sync_every>1 defers READING the overflow flag; with
+    no overflow occurring the training trajectory must be bit-identical to
+    the per-step-sync (reference-exact) default."""
+    t1 = make_trainer(env)
+    p1, _, _ = t1.train(step_max=5)
+    t2 = make_trainer(env, cfg_train_extra={"overflow_sync_every": 3})
+    p2, _, _ = t2.train(step_max=5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
