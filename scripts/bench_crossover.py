@@ -1,0 +1,75 @@
+"""Single-chip crossover: XLA celllist fallback vs spatial slab pipeline.
+
+Round-3 VERDICT weak #6: the 100k spatial row was only compared against the
+64k celllist row. This measures BOTH paths at the same sizes so the
+single-chip crossover (or its absence) is a table, not an extrapolation.
+
+Usage (TPU):  python scripts/bench_crossover.py [sizes...]
+Defaults: 64000 100000 150000. Writes BENCH_crossover.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def celllist_row(n: int) -> dict:
+    from bench import run_bench
+
+    r = run_bench(n_particles=n, backend="celllist", nl_multiplier=1.35)
+    return {
+        "path": "celllist",
+        "n": n,
+        "ms_per_step": r["detail"]["ms_per_rollout_step"],
+        "particle_steps_per_sec": r["value"],
+    }
+
+
+def spatial_row(n: int) -> dict:
+    # run in a subprocess: the spatial pipeline builds its own mesh/state
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "bench_spatial.py"), str(n), "1", "20"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    ms = None
+    for line in out.stdout.splitlines():
+        if "rollout" in line and "ms/step" in line:
+            # "rollout : <x> ms/step ..." format from bench_spatial
+            toks = line.replace(":", " ").split()
+            for i, t in enumerate(toks):
+                if t == "ms/step" and i > 0:
+                    ms = float(toks[i - 1])
+    if ms is None:
+        return {"path": "spatial", "n": n, "error": out.stdout[-500:]
+                + out.stderr[-500:]}
+    return {
+        "path": "spatial",
+        "n": n,
+        "ms_per_step": ms,
+        "particle_steps_per_sec": round(n / ms * 1e3, 1),
+    }
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [64000, 100000, 150000]
+    rows = []
+    for n in sizes:
+        for fn in (celllist_row, spatial_row):
+            try:
+                row = fn(n)
+            except Exception as e:  # noqa: BLE001 — record, keep measuring
+                row = {"path": fn.__name__, "n": n, "error": repr(e)[:500]}
+            rows.append(row)
+            print(json.dumps(row))
+    with open("BENCH_crossover.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
