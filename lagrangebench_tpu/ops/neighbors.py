@@ -73,9 +73,10 @@ class NeighborList:
     did_buffer_overflow: jnp.ndarray
     update_fn: Callable = struct.field(pytree_node=False)
     format: str = struct.field(pytree_node=False, default="sparse")
-    # slot format only: the cell-sorted graph payload (rel_disp/rel_dist,
+    # slot format: the cell-sorted graph payload (rel_disp/rel_dist,
     # slot<->particle maps, stencil base table) — see
-    # neighbors_pallas.make_slot_edges_fn
+    # neighbors_pallas.make_slot_edges_fn. dense format with
+    # emit_geometry: in-kernel rel_disp/rel_dist in particle order.
     aux: Optional[dict] = None
 
     def update(self, position: jnp.ndarray, num_particles=None, **kwargs):
