@@ -59,7 +59,12 @@ def run_bench(
     if n_steps is None:
         n_steps = int(_os.environ.get("BENCH_STEPS", "50"))
     if emit_geometry is None:
-        emit_geometry = bool(int(_os.environ.get("BENCH_EMIT_GEOM", "1")))
+        # measured A/B on v5e (round 4): in-kernel geometry is SLOWER
+        # (6.17 vs 5.80 ms/step) — the combined id+geometry scatter and the
+        # extra VMEM difference planes cost more than the (N, K, dim)
+        # sender-position gather + min-image they remove. Off by default;
+        # the knob stays for re-measurement on other toolchains.
+        emit_geometry = bool(int(_os.environ.get("BENCH_EMIT_GEOM", "0")))
     import jax as _jax
 
     if backend == "pallas" and _jax.default_backend() != "tpu":

@@ -18,7 +18,10 @@ Variant B restructures the ROLLOUT CARRY only (no model/case changes):
 
 Run (TPU):
     python scripts/experiments/step_glue_probe.py
-Env: GLUE_N (8000), GLUE_STEPS (50), GLUE_REPEATS (12).
+Env: GLUE_N (8000), GLUE_STEPS (50), GLUE_REPEATS (12), GLUE_EMIT (0 —
+the emit_geometry A/B in bench.py measured the in-kernel geometry WORSE
+standalone, so B defaults to the gather path and GLUE_EMIT=1 isolates
+the combination).
 """
 
 from __future__ import annotations
@@ -41,12 +44,13 @@ from __graft_entry__ import _grid_positions, _make_case_and_model  # noqa: E402
 
 
 def make_variants(n, dim, isl):
-    emit = jax.default_backend() == "tpu"
-    backend = "pallas" if emit else "celllist"
+    on_tpu = jax.default_backend() == "tpu"
+    emit = on_tpu and bool(int(os.environ.get("GLUE_EMIT", "0")))
+    backend = "pallas" if on_tpu else "celllist"
     case, metadata, init_fn, apply_fn = _make_case_and_model(
         n, dim=dim, isl=isl, backend=backend, nl_format="dense",
         compute_dtype="bfloat16",
-        use_fused_processor=emit, emit_geometry=emit,
+        use_fused_processor=on_tpu, emit_geometry=emit,
     )
     pos = _grid_positions(n, dim, 1.0, isl)
     ptype = np.zeros(n, dtype=np.int32)
@@ -171,10 +175,13 @@ def main():
         rollout_b, (params, w0, vh0, ptype, nbrs), n_steps, repeats
     )
 
-    # value check: final windows must agree (same math, different layout)
+    # value check: final windows must agree (same math, different layout).
+    # Compare min-image: A keeps positions unwrapped in the window while B
+    # wraps into [0, box) every step — x=0 and x=box are the same point.
     fa = np.asarray(out_a[0]).reshape(n, -1)
     fb = np.asarray(out_b[0])
-    err = float(np.max(np.abs(fa - fb)))
+    d = fa - fb
+    err = float(np.max(np.abs(d - 1.0 * np.floor(d / 1.0 + 0.5))))
     print(f"A standard glue        : {ms_a:8.3f} ms/step")
     print(f"B flat+incremental glue: {ms_b:8.3f} ms/step")
     print(f"max |final_window A-B| = {err:.3e}  (expect <1e-4; "
