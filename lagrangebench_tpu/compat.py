@@ -521,6 +521,12 @@ def haiku_segnn_to_flax(
                     )
                 weights[(a, b)] = np.asarray(arr)
             else:
+                exp_b = (out_groups[b][0],)
+                if tuple(arr.shape) != exp_b:
+                    problems.append(
+                        f"{hk_key}/{name}: shape {arr.shape}, expected "
+                        f"{exp_b} from out groups {out_groups}"
+                    )
                 biases[b] = np.asarray(arr)
 
         # assemble MY parameter blocks (same path enumeration as

@@ -215,7 +215,8 @@ def _make_fused_kernel(has_enc: bool):
     return kernel
 
 
-def _pick_tile(n: int, k: int, tile: int, row_budget: int = 4800) -> int:
+def _pick_tile(n: int, k: int, tile: int, row_budget: int = 4800,
+               affine_cap: bool = False) -> int:
     """Receiver-tile size bounded by VMEM: tile*K edge rows per launch.
 
     ``row_budget`` is calibrated against the default 16 MiB scoped-VMEM
@@ -223,11 +224,24 @@ def _pick_tile(n: int, k: int, tile: int, row_budget: int = 4800) -> int:
     configuration on v5e) and scales linearly if the limit is raised —
     see ops.device. Prefers a tile that divides N exactly — padding 5
     input tensors costs ~0.5 ms/step at bench scale.
+
+    ``affine_cap`` applies the measured enc-variant admissibility
+    boundary (scripts/experiments/fused_tile_vmem_probe.py): the raw
+    edge-feature buffer lane-pads fe->128 in f32, so per-row cost grows
+    FASTER than 1/k and a pure row budget over-admits at large k —
+    k=36 at the row-budget tile 120 compiles to 17.86M scoped VMEM
+    (limit 16M). The affine fit tile <= 5184/k - 40 reproduces the
+    probed boundary: k=24 -> 176 (ok; 200 OOMs at 64k+ rows),
+    k=36 -> 104 (ok; 112 OOMs at 16.45M), k=48 -> 64 (80 measured ok,
+    so conservative there).
     """
     from .device import scale_budget
 
     row_budget = scale_budget(row_budget)
     cap = max((row_budget // max(k, 1)) // 8 * 8, 8)
+    if affine_cap:
+        cap_a = int(scale_budget(5184) / max(k, 1)) - 40
+        cap = max(min(cap, cap_a // 8 * 8), 8)
     # always take the largest in-budget divisor: fewer grid steps amortize
     # per-tile overheads (a smaller dividing tile is NOT preferred — at
     # 16k rows, tile 128 vs 200 costs ~1 ms/step across 10 MP launches)
@@ -266,7 +280,8 @@ def _launch_fused(e, hs_gath, hr_proj, h, mask, p, enc, tile, interpret):
     # intermediates on top of the plain kernel's state: tile=200 x K=24
     # measures 16.27M scoped VMEM at 64k rows (0.27M over), so it gets a
     # smaller budget
-    tile = _pick_tile(n, k, tile, row_budget=4400 if enc else 4800)
+    tile = _pick_tile(n, k, tile, row_budget=4400 if enc else 4800,
+                      affine_cap=bool(enc))
     n_pad = -n % tile
     if n_pad:
         pad3 = ((0, n_pad), (0, 0), (0, 0))

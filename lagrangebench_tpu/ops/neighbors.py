@@ -728,44 +728,12 @@ def neighbor_list(
 
             return update
         if format == "dense":
+            with_geometry = emit_geometry and eff_backend == "pallas"
             if eff_backend == "pallas":
                 edges = edges_fn_factory(
                     e_cap=e_cap, cell_cap=cell_cap, grid=col_grid,
                     emit_geometry=emit_geometry,
                 )
-                if emit_geometry:
-
-                    @jax.jit
-                    def _update_geom_jit(position, prev_overflow,
-                                         num_particles):
-                        idx, geom, overflow = edges(position, num_particles)
-                        return idx, geom, overflow | prev_overflow
-
-                    def update_geom(position, neighbors=None,
-                                    num_particles=None, **kwargs):
-                        n = position.shape[0]
-                        npart = n if num_particles is None else num_particles
-                        prev = (
-                            neighbors.did_buffer_overflow
-                            if neighbors is not None
-                            else jnp.asarray(False)
-                        )
-                        idx, geom, overflow = _update_geom_jit(
-                            position, prev, npart
-                        )
-                        d = geom.shape[-1] - 1
-                        return NeighborList(
-                            idx=idx,
-                            did_buffer_overflow=overflow,
-                            update_fn=update_geom,
-                            format="dense",
-                            aux={
-                                "rel_disp": geom[..., :d],
-                                "rel_dist": geom[..., d:],
-                            },
-                        )
-
-                    return update_geom
             elif eff_backend == "celllist":
                 def edges(position, num_particles):
                     return _celllist_dense(
@@ -780,8 +748,17 @@ def neighbor_list(
 
             @jax.jit
             def _update_jit(position, prev_overflow, num_particles):
-                idx, overflow = edges(position, num_particles)
-                return idx, overflow | prev_overflow
+                if with_geometry:
+                    idx, geom, overflow = edges(position, num_particles)
+                    d = geom.shape[-1] - 1
+                    aux = {
+                        "rel_disp": geom[..., :d],
+                        "rel_dist": geom[..., d:],
+                    }
+                else:
+                    idx, overflow = edges(position, num_particles)
+                    aux = None
+                return idx, aux, overflow | prev_overflow
 
         else:
             if eff_backend == "allpairs":
@@ -812,7 +789,7 @@ def neighbor_list(
             def _update_jit(position, prev_overflow, num_particles):
                 idx, n_edges = edges(position, num_particles)
                 overflow = (n_edges > e_cap) | prev_overflow
-                return idx, overflow
+                return idx, None, overflow
 
         def update(position, neighbors=None, num_particles=None, **kwargs):
             n = position.shape[0]
@@ -822,12 +799,13 @@ def neighbor_list(
                 if neighbors is not None
                 else jnp.asarray(False)
             )
-            idx, overflow = _update_jit(position, prev, npart)
+            idx, aux, overflow = _update_jit(position, prev, npart)
             return NeighborList(
                 idx=idx,
                 did_buffer_overflow=overflow,
                 update_fn=update,
                 format=format,
+                aux=aux,
             )
 
         return update

@@ -52,6 +52,7 @@ domain on each device (no self-image duplicates).
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -1570,7 +1571,7 @@ def build_spatial_gns_rollout(
                 step,
                 (pos.astype(core.pos_dtype), jnp.asarray(False),
                  jnp.asarray(False)),
-                gt, length=n_steps,
+                gt if use_gt else None, length=n_steps,
             )
             nl_ovf = jax.lax.psum(nl_ovf.astype(jnp.int32), DATA_AXIS) > 0
             drift = jax.lax.psum(drift.astype(jnp.int32), DATA_AXIS) > 0
@@ -1588,8 +1589,10 @@ def build_spatial_gns_rollout(
         n_steps = int(n_steps)
         use_gt = gt_sh is not None
         if gt_sh is None:
+            # zero-length placeholder: the no-target variant scans with
+            # xs=None, so nothing is transferred or read through this slot
             gt_sh = jnp.zeros(
-                (pos_sh.shape[0], n_steps) + pos_sh.shape[1:2]
+                (pos_sh.shape[0], 0) + pos_sh.shape[1:2]
                 + (pos_sh.shape[-1],),
                 jnp.asarray(pos_sh).dtype,
             )
@@ -1686,7 +1689,7 @@ def spatial_rollout(
                 gt_sh[d, :, :c] = target[done : done + steps, sel]
                 start += c
         preds, pos_out, (nl_ovf, drift) = run(
-            pos_sh, ptype_sh, counts, steps, gt_sh
+            pos_sh, ptype_sh, counts, steps, gt_sh, fp
         )
         if nl_ovf:
             # capacity escalation: redo this chunk with bigger buffers
@@ -1962,6 +1965,10 @@ def train_spatial(
     rollout_cache: dict = {}
 
     def val_rollout_mse(fp_now):
+        # the live fp is committed to the (possibly 2D) TRAINING mesh;
+        # the validation rollout runs on its own 1D slab mesh — rehome
+        # the (replicated, small) parameters to host first
+        fp_now = jax.tree.map(np.asarray, jax.device_get(fp_now))
         mses = []
         for i in range(min(n_trajs_val, len(data_valid))):
             vpos_i, vpt_i = data_valid[i]
@@ -1984,7 +1991,7 @@ def train_spatial(
             )
             # plain (unwrapped) position MSE, like MetricsComputer's "mse"
             mses.append(float(np.mean((preds - tgt) ** 2)))
-        return float(np.mean(mses)) if mses else float("nan")
+        return float(np.mean(mses)) if mses else None
 
     log_steps = int(cfg_logging.log_steps)
     eval_steps = int(cfg_logging.eval_steps)
@@ -2034,6 +2041,16 @@ def train_spatial(
                 )
             vloss = float(vloss)
             vroll = val_rollout_mse(fp)
+            if vroll is None:
+                # no validation trajectory yields a >=1-step horizon
+                # (all shorter than input_seq_length+1): fall back to the
+                # one-step loss so best-model tracking keeps operating
+                warnings.warn(
+                    "spatial training: no validation trajectory long "
+                    "enough for a rollout; best-model selection falls "
+                    "back to the one-step validation loss"
+                )
+                vroll = vloss
             print(f"{step}, val/loss: {vloss:.6f}, "
                   f"val/rollout_mse: {vroll:.3e}.")
             if store_ckp is not None:

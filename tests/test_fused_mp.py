@@ -255,3 +255,26 @@ def test_fused_gns_trains():
     updates, _ = opt.update(grads, opt.init(params))
     new_params = optax.apply_updates(params, updates)
     assert np.isfinite(float(loss(new_params)))
+
+
+def test_pick_tile_enc_affine_cap():
+    """The enc-variant tile cap follows the MEASURED VMEM admissibility
+    boundary (scripts/experiments/fused_tile_vmem_probe.py): a pure
+    row-budget over-admits at large K (k=36 tile 120 compiles to 17.86M
+    scoped VMEM against the 16M limit on v5e)."""
+    from lagrangebench_tpu.ops.fused_mp import _pick_tile
+
+    # k=36: row budget alone would give 120 (OOM); affine cap -> <= 104
+    assert _pick_tile(150000, 36, 128, row_budget=4400) == 120
+    assert (
+        _pick_tile(150000, 36, 128, row_budget=4400, affine_cap=True) <= 104
+    )
+    # k=24: boundary measured at 176 (200 OOMs at 64k+ rows) — the affine
+    # cap must not shrink the known-good pick
+    t24 = _pick_tile(64000, 24, 200, row_budget=4400, affine_cap=True)
+    assert t24 <= 176
+    assert t24 >= 128
+    # headline 8k config unchanged by the cap
+    assert _pick_tile(8000, 24, 200, row_budget=4400, affine_cap=True) == (
+        _pick_tile(8000, 24, 200, row_budget=4400)
+    )

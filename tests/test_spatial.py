@@ -230,6 +230,66 @@ def test_spatial_rollout_matches_unsharded():
     np.testing.assert_allclose(preds, ref, rtol=1e-7, atol=1e-9)
 
 
+def test_spatial_rollout_fp_override_reaches_compiled_rollout():
+    """spatial_rollout(params=A, fp=pack(B)) == spatial_rollout(params=B).
+
+    Regression: train_spatial's rollout-metric validation threads the LIVE
+    packed parameters through a cached compiled rollout via ``fp``; a
+    dropped override silently evaluates the build-time parameters forever,
+    freezing best-model selection at the first checkpoint.
+    """
+    from lagrangebench_tpu.parallel.spatial import (
+        _SpatialGNS,
+        spatial_rollout,
+    )
+
+    n, dim, isl = 4096, 3, 3
+    box, cutoff = 1.0, 0.06
+    mp_steps, latent = 2, 8
+    n_steps = 3
+    case, apply, params_a, pos, ptype, nbrs, _ = _make_case_and_model(
+        n, dim, isl, box, cutoff, mp_steps, latent, seed=3
+    )
+    # second parameter set: same structure, different values
+    params_b = jax.tree.map(
+        lambda x: x * 1.5 + 0.01 if x.dtype.kind == "f" else x, params_a
+    )
+
+    mesh = make_mesh(8)
+    stats = case.normalization_stats
+    common = dict(
+        mesh=mesh, box=[box] * dim, cutoff=cutoff, input_seq_length=isl,
+        num_mp_steps=mp_steps, n_steps=n_steps,
+        normalization_stats=stats, chunk=n_steps,
+        compute_dtype=jnp.float64,
+    )
+    pos0 = pos[:, :isl].astype(np.float64)
+    cache: dict = {}
+    preds_a = spatial_rollout(
+        params_a, pos0, ptype, build_cache=cache, **common
+    )
+    from lagrangebench_tpu.models.gns import fused_params_from_standard
+
+    fp_b = _SpatialGNS.pack_params(
+        jax.tree.map(
+            jnp.asarray, fused_params_from_standard(params_b, mp_steps)
+        ),
+        mp_steps,
+    )
+    # same cached compiled rollout, overridden parameters
+    preds_b_fp = spatial_rollout(
+        params_a, pos0, ptype, fp=fp_b, build_cache=cache, **common
+    )
+    # ground truth: a rollout BUILT from params_b
+    preds_b = spatial_rollout(params_b, pos0, ptype, **common)
+
+    assert not np.allclose(preds_a, preds_b_fp), (
+        "fp override had no effect — the live parameters never reached "
+        "the compiled rollout"
+    )
+    np.testing.assert_allclose(preds_b_fp, preds_b, rtol=1e-7, atol=1e-9)
+
+
 import pytest
 
 
