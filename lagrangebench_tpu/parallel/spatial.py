@@ -1277,11 +1277,22 @@ def build_spatial_gns_train_step(
     return jax.jit(sharded), core.fp
 
 
-def _sample_loss_contrib(core, fp, pos, ptype, count):
+def _sample_loss_contrib(core, fp, pos, ptype, count, unroll: int = 0):
     """This device's contribution to ONE sample's kinematic-masked MSE
     (summed over the sample's slab ring ``core.axis``, the contributions
-    form the global per-sample loss). ``pos`` is the local (N_loc,
-    isl+1, dim) window: ``isl`` model frames + the target frame."""
+    form the global per-sample loss).
+
+    ``pos`` is the local (N_loc, T, dim) window. With ``unroll == 0``
+    (no pushforward) T is isl+1: ``isl`` model frames + the target frame.
+    With pushforward enabled T is isl+1+max_unroll+isl: the noised
+    sequence (isl inputs + 1+max_unroll target frames) followed by the
+    RAW isl-frame input window. The ``unroll`` (static) pushforward steps
+    mirror the standard Trainer / reference strats.py:112-161 semantics:
+    the first no-grad forward sees the NOISED features, its prediction
+    integrates from the RAW window, subsequent forwards run on the pushed
+    window, gradients do not flow through the unroll, and the target is
+    the second finite difference of the noised sequence around frame
+    ``isl - 1 + unroll``."""
     isl = core.isl
     box_j = core.box
 
@@ -1292,13 +1303,28 @@ def _sample_loss_contrib(core, fp, pos, ptype, count):
     d_idx = jax.lax.axis_index(core.axis)
     n_loc = pos.shape[0]
     pos = pos.astype(core.pos_dtype)
-    acc_pred, overflow = core._forward(
-        pos[:, :isl], ptype, count, d_idx, fp=fp
-    )
 
-    # normalized target acceleration from frames isl-2, isl-1, isl
-    cur_vel = disp(pos[:, isl - 1], pos[:, isl - 2])
-    next_vel = disp(pos[:, isl], pos[:, isl - 1])
+    window = pos[:, :isl]
+    overflow = jnp.asarray(False)
+    if unroll > 0:
+        base = pos[:, -isl:]  # raw input window: the integration base
+        for _ in range(unroll):
+            acc_n, ovf = core._forward(window, ptype, count, d_idx, fp=fp)
+            overflow = overflow | ovf
+            acc = core.acc_mean + acc_n.astype(core.pos_dtype) * core.acc_std
+            most = base[:, -1]
+            last_vel = disp(base[:, -1], base[:, -2])
+            new_pos = jnp.mod(most + last_vel + acc, box_j)
+            base = jnp.concatenate([base[:, 1:], new_pos[:, None]], axis=1)
+            window = base
+        window = jax.lax.stop_gradient(window)
+
+    acc_pred, ovf = core._forward(window, ptype, count, d_idx, fp=fp)
+    overflow = overflow | ovf
+
+    # normalized target acceleration around frame isl - 1 + unroll
+    cur_vel = disp(pos[:, isl - 1 + unroll], pos[:, isl - 2 + unroll])
+    next_vel = disp(pos[:, isl + unroll], pos[:, isl - 1 + unroll])
     acc_t = (next_vel - cur_vel - core.acc_mean) / core.acc_std
 
     valid = jnp.arange(n_loc, dtype=jnp.int32) < count
