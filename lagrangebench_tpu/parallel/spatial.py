@@ -1234,16 +1234,19 @@ def build_spatial_gns_train_step(
     single-device trainer computes (parity-tested on a CPU mesh,
     tests/test_spatial.py).
 
-    Returns ``step(fp, pos_sh, ptype_sh, counts) -> (loss, grads,
-    overflow)`` plus the initial packed parameter tree ``fp`` (the
-    fused-layout pytree of the standard flax tree ``params`` — convert a
-    trained ``fp`` back with the inverse mapping or keep training in this
-    layout). ``pos_sh`` is a ``spatial_partition`` output with
-    ``input_seq_length + 1`` frames: the first ``isl`` feed the model,
-    the last two plus frame ``isl-2`` give the normalized acceleration
-    target (same second finite difference as ``case.py``). Loss is the
-    kinematic-masked MSE over acceleration, averaged over all valid
-    non-kinematic particles of the GLOBAL system.
+    Returns ``step(fp, pos_sh, ptype_sh, counts, unroll_steps=0) ->
+    (loss, grads, overflow)`` plus the initial packed parameter tree
+    ``fp`` (the fused-layout pytree of the standard flax tree ``params``
+    — convert a trained ``fp`` back with the inverse mapping or keep
+    training in this layout). ``pos_sh`` is a ``spatial_partition``
+    output with ``input_seq_length + 1`` frames: the first ``isl`` feed
+    the model, the last two plus frame ``isl-2`` give the normalized
+    acceleration target (same second finite difference as ``case.py``).
+    With pushforward (``unroll_steps > 0``, one compiled variant per
+    value) the window carries extra target frames plus the raw input
+    window — see ``_sample_loss_contrib``. Loss is the kinematic-masked
+    MSE over acceleration, averaged over all valid non-kinematic
+    particles of the GLOBAL system.
     """
     stats = normalization_stats
     core = _make_core(
@@ -1254,27 +1257,39 @@ def build_spatial_gns_train_step(
         radius=radius, model_def=model_def,
     )
 
-    def local_step(fp, pos, ptype, count):
-        pos, ptype, count = pos[0], ptype[0], count[0]
-        (contrib, overflow), grads = jax.value_and_grad(
-            _sample_loss_contrib, argnums=1, has_aux=True
-        )(core, fp, pos, ptype, count)
-        # each device's grad covers its local contribution (halo-state
-        # cotangents return home via the ppermute transpose); the psum
-        # assembles the exact global-loss gradient
-        loss = jax.lax.psum(contrib, DATA_AXIS)
-        grads = jax.lax.psum(grads, DATA_AXIS)
-        overflow = jax.lax.psum(overflow.astype(jnp.int32), DATA_AXIS) > 0
-        return loss, grads, overflow
+    def make_local_step(unroll: int):
+        def local_step(fp, pos, ptype, count):
+            pos, ptype, count = pos[0], ptype[0], count[0]
+            (contrib, overflow), grads = jax.value_and_grad(
+                _sample_loss_contrib, argnums=1, has_aux=True
+            )(core, fp, pos, ptype, count, unroll)
+            # each device's grad covers its local contribution (halo-state
+            # cotangents return home via the ppermute transpose); the psum
+            # assembles the exact global-loss gradient
+            loss = jax.lax.psum(contrib, DATA_AXIS)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            overflow = jax.lax.psum(overflow.astype(jnp.int32), DATA_AXIS) > 0
+            return loss, grads, overflow
+
+        return local_step
 
     batched, rep = P(DATA_AXIS), P()
-    sharded = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(rep, batched, batched, batched),
-        out_specs=(rep, rep, rep),
-        check_vma=False,
-    )
-    return jax.jit(sharded), core.fp
+    cache = {}
+
+    def step(fp, pos_sh, ptype_sh, counts, unroll_steps: int = 0):
+        # one compiled variant per pushforward unroll count (at most 4
+        # values — same strategy as the standard Trainer)
+        u = int(unroll_steps)
+        if u not in cache:
+            cache[u] = jax.jit(shard_map(
+                make_local_step(u), mesh=mesh,
+                in_specs=(rep, batched, batched, batched),
+                out_specs=(rep, rep, rep),
+                check_vma=False,
+            ))
+        return cache[u](fp, pos_sh, ptype_sh, counts)
+
+    return step, core.fp
 
 
 def _sample_loss_contrib(core, fp, pos, ptype, count, unroll: int = 0):
@@ -1448,36 +1463,51 @@ def build_spatial_train_step_dp(
         radius=radius, axis_name=SPATIAL_AXIS, model_def=model_def,
     )
 
-    def local_step(fp, pos, ptype, count):
-        # blocks: (B_loc, 1, N_loc, ...) — drop the sharded space axis
-        pos, ptype, count = pos[:, 0], ptype[:, 0], count[:, 0]
-        b_loc = pos.shape[0]
+    def make_local_step(unroll: int):
+        def local_step(fp, pos, ptype, count):
+            # blocks: (B_loc, 1, N_loc, ...) — drop the sharded space axis
+            pos, ptype, count = pos[:, 0], ptype[:, 0], count[:, 0]
+            b_loc = pos.shape[0]
 
-        def batch_loss(fp):
-            contribs, overflows = jax.vmap(
-                lambda p, t, c: _sample_loss_contrib(core, fp, p, t, c)
-            )(pos, ptype, count)
-            # batch mean over the GLOBAL batch (b_loc per data row)
-            return jnp.sum(contribs) / (b_loc * n_data), jnp.any(overflows)
+            def batch_loss(fp):
+                contribs, overflows = jax.vmap(
+                    lambda p, t, c: _sample_loss_contrib(
+                        core, fp, p, t, c, unroll
+                    )
+                )(pos, ptype, count)
+                # batch mean over the GLOBAL batch (b_loc per data row)
+                return (
+                    jnp.sum(contribs) / (b_loc * n_data),
+                    jnp.any(overflows),
+                )
 
-        (contrib, overflow), grads = jax.value_and_grad(
-            batch_loss, has_aux=True
-        )(fp)
-        axes = (DATA_AXIS, SPATIAL_AXIS)
-        loss = jax.lax.psum(contrib, axes)
-        grads = jax.lax.psum(grads, axes)
-        overflow = jax.lax.psum(overflow.astype(jnp.int32), axes) > 0
-        return loss, grads, overflow
+            (contrib, overflow), grads = jax.value_and_grad(
+                batch_loss, has_aux=True
+            )(fp)
+            axes = (DATA_AXIS, SPATIAL_AXIS)
+            loss = jax.lax.psum(contrib, axes)
+            grads = jax.lax.psum(grads, axes)
+            overflow = jax.lax.psum(overflow.astype(jnp.int32), axes) > 0
+            return loss, grads, overflow
+
+        return local_step
 
     batched = P(DATA_AXIS, SPATIAL_AXIS)
     rep = P()
-    sharded = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(rep, batched, batched, batched),
-        out_specs=(rep, rep, rep),
-        check_vma=False,
-    )
-    return jax.jit(sharded), core.fp
+    cache = {}
+
+    def step(fp, pos_sh, ptype_sh, counts, unroll_steps: int = 0):
+        u = int(unroll_steps)
+        if u not in cache:
+            cache[u] = jax.jit(shard_map(
+                make_local_step(u), mesh=mesh,
+                in_specs=(rep, batched, batched, batched),
+                out_specs=(rep, rep, rep),
+                check_vma=False,
+            ))
+        return cache[u](fp, pos_sh, ptype_sh, counts)
+
+    return step, core.fp
 
 
 def _make_core(
@@ -1819,10 +1849,13 @@ def train_spatial(
     escalations never touch the training buffers), and best-model
     selection by validation ROLLOUT MSE (``n_trajs_val`` rollouts of
     ``n_rollout_steps_val`` steps through one cached compiled rollout, so
-    the best/ dir is picked the same way the standard path picks it).
-    Documented deltas: no pushforward unrolls (one-step acceleration
-    loss only) and GNS noise applied host-side (same random-walk math —
-    the spatial path partitions on the host anyway). Checkpoints are
+    the best/ dir is picked the same way the standard path picks it),
+    and the pushforward curriculum (``cfg_train.pushforward`` — the
+    unroll count is sampled per step exactly like the standard Trainer,
+    one compiled step variant per count, no gradients through the
+    unroll). Documented delta: GNS noise is applied host-side (same
+    random-walk math — the spatial path partitions on the host anyway).
+    Checkpoints are
     written in the STANDARD parameter layout, so `infer`, `infer_spatial`
     and the reference-checkpoint exporter all consume them unchanged.
 
@@ -1831,6 +1864,7 @@ def train_spatial(
     import optax
 
     from ..data.loader import DataLoader, cycle
+    from ..train.strats import push_forward_sample_steps
     from .mesh import make_mesh, make_mesh_2d
 
     isl = input_seq_length
@@ -1856,6 +1890,12 @@ def train_spatial(
     # be thread-unsafe and scheduling-dependent
     rng_noise = np.random.default_rng(seed)
     rng_loader = np.random.default_rng(seed + 2)
+    rng_push = np.random.default_rng(seed + 3)
+
+    pushforward = cfg_train.get("pushforward", None) if hasattr(
+        cfg_train, "get"
+    ) else getattr(cfg_train, "pushforward", None)
+    max_unroll = int(max(pushforward.unrolls)) if pushforward else 0
 
     n_avail = len(jax.devices())
     if batch > 1:
@@ -1938,13 +1978,27 @@ def train_spatial(
         updates, opt_state = opt_update(grads, opt_state, fp)
         return optax.apply_updates(fp, updates), opt_state
 
-    def prepare(batch_samples, noise: float):
-        """Noise + partition + pad a list of (pos, ptype) samples."""
+    def prepare(batch_samples, noise: float, extra: int = 0):
+        """Noise + partition + pad a list of (pos, ptype) samples.
+
+        ``extra`` target frames beyond isl+1 are kept for pushforward
+        unrolls; when > 0 the RAW isl-frame input window is appended
+        after the noised frames (the unroll's integration base — see
+        ``_sample_loss_contrib``). Everything is partitioned in one
+        array so slab order is consistent."""
         parts = []
         for pos, ptype in batch_samples:
-            pos = np.asarray(pos)[:, : isl + 1]
+            pos = np.asarray(pos)[:, : isl + 1 + extra]
+            assert pos.shape[1] == isl + 1 + extra, (
+                f"pushforward needs {isl + 1 + extra} frames per window, "
+                f"got {pos.shape[1]} — was the dataset loaded with "
+                f"extra_seq_length=max_unroll?"
+            )
             ptype = np.asarray(ptype)
+            raw_win = pos[:, :isl].copy() if extra > 0 else None
             pos = _host_gns_noise(rng_noise, pos, ptype, isl, noise, box)
+            if extra > 0:
+                pos = np.concatenate([pos, raw_win], axis=1)
             parts.append(spatial_partition(pos, ptype, n_devices, box[0]))
         n_loc = max(p[0].shape[1] for p in parts)
 
@@ -2025,11 +2079,15 @@ def train_spatial(
     step = step_start
     retries = 0
     while step < step_max:
+        unroll = (
+            push_forward_sample_steps(rng_push, step, pushforward)
+            if pushforward else 0
+        )
         pos_b, ptype_b, counts_b = prepare(split_batch(next(loader)),
-                                           noise_std)
+                                           noise_std, extra=max_unroll)
         loss, grads, overflow = step_fn(
             fp, jnp.asarray(pos_b), jnp.asarray(ptype_b),
-            jnp.asarray(counts_b),
+            jnp.asarray(counts_b), unroll_steps=unroll,
         )
         if bool(overflow):
             retries += 1

@@ -1081,3 +1081,155 @@ def test_spatial_rejects_non_periodic_datasets():
         infer_spatial(
             {}, None, _FakeData(), n_devices=2, num_mp_steps=2,
         )
+
+
+def _pushforward_fixture(n=1024, dim=3, isl=4, box=1.0, cutoff=0.09,
+                         mp_steps=2, latent=16, max_unroll=1, seed=5):
+    """Positions with isl+1+max_unroll frames, a GNS in f64, and the pos
+    window laid out for the spatial pushforward step: noised frames
+    (noise 0 here, so == raw) followed by the raw isl-frame window."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, box, size=(n, 1, dim))
+    vel = rng.normal(0, 2e-3, size=(n, 1, dim))
+    t = isl + 1 + max_unroll
+    pos = np.mod(base + vel * np.arange(t)[None, :, None], box)
+    ptype = np.zeros(n, dtype=np.int32)
+    ptype[:5] = 1
+
+    metadata = {
+        "dim": dim, "num_particles_max": n,
+        "periodic_boundary_conditions": [True] * dim,
+        "bounds": [[0.0, box]] * dim,
+        "default_connectivity_radius": cutoff,
+        "vel_mean": [0.0] * dim, "vel_std": [1e-3] * dim,
+        "acc_mean": [0.0] * dim, "acc_std": [1e-4] * dim,
+    }
+    case = case_builder(
+        box=[box] * dim, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=0.0, dtype=jnp.float64,
+    )
+    model = GNS(particle_dimension=dim, latent_size=latent,
+                num_mp_steps=mp_steps, compute_dtype="float64")
+    init, apply = make_model_fns(model)
+    features, nbrs = case.allocate_eval((pos[:, :isl], ptype))
+    params, _ = init(jax.random.PRNGKey(1), (features, ptype))
+    params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+        if np.asarray(x).dtype.kind == "f" else jnp.asarray(x),
+        params,
+    )
+    stats = case.normalization_stats
+    # the spatial step's window layout: noised (== raw, noise 0) + raw
+    pos_full = np.concatenate([pos, pos[:, :isl]], axis=1)
+    return (case, apply, params, pos, pos_full, ptype, nbrs, stats,
+            metadata, box, cutoff, mp_steps)
+
+
+def test_spatial_pushforward_8dev_matches_1dev():
+    """Gradient parity of the unrolled (pushforward) spatial train step:
+    8-slab-ring results equal the single-device computation, including
+    the no-grad unroll forward and the shifted target frame."""
+    from lagrangebench_tpu.parallel.spatial import (
+        build_spatial_gns_train_step,
+    )
+
+    (case, apply, params, pos, pos_full, ptype, nbrs, stats, metadata,
+     box, cutoff, mp_steps) = _pushforward_fixture()
+    isl, dim = 4, 3
+    k_cap = nbrs.idx.shape[1]
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev)
+        pos_sh, ptype_sh, counts, _ = spatial_partition(
+            pos_full, ptype, n_dev, box_x=box
+        )
+        step, fp = build_spatial_gns_train_step(
+            mesh, params, box=[box] * dim, cutoff=cutoff,
+            input_seq_length=isl, num_mp_steps=mp_steps, k_cap=k_cap,
+            normalization_stats=stats, compute_dtype=jnp.float64,
+        )
+        loss, grads, overflow = step(
+            jax.tree.map(jnp.asarray, fp), jnp.asarray(pos_sh),
+            jnp.asarray(ptype_sh), jnp.asarray(counts), unroll_steps=1,
+        )
+        assert not bool(overflow)
+        results[n_dev] = (float(loss), jax.tree.map(np.asarray, grads))
+
+    loss1, g1 = results[1]
+    loss8, g8 = results[8]
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-9)
+    for (k, v1), (_, v8) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g8),
+    ):
+        np.testing.assert_allclose(
+            v8, v1, rtol=1e-7, atol=1e-12,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+        )
+
+
+def test_spatial_pushforward_loss_matches_standard_semantics():
+    """The spatial unrolled loss equals the standard pushforward math:
+    a no-grad forward on the input window, integrate from the raw base,
+    loss forward on the pushed window against the target shifted by the
+    unroll count (reference strats.py:112-161 semantics)."""
+    from lagrangebench_tpu.parallel.spatial import (
+        build_spatial_gns_train_step,
+    )
+    from lagrangebench_tpu.utils import get_kinematic_mask
+
+    (case, apply, params, pos, pos_full, ptype, nbrs, stats, metadata,
+     box, cutoff, mp_steps) = _pushforward_fixture()
+    isl, dim, unroll = 4, 3, 1
+
+    # --- standard-path reference (single device, case/apply math) ---
+    cur = jnp.asarray(pos[:, :isl], jnp.float64)
+    ptype_j = jnp.asarray(ptype)
+    nbrs_ref = nbrs
+    for _ in range(unroll):
+        feats, nbrs_ref = case.preprocess_eval((cur, ptype_j), nbrs_ref)
+        out, _ = apply(params, {}, (feats, ptype_j))
+        next_pos = case.integrate(
+            {"acc": jnp.asarray(out["acc"], jnp.float64)}, cur
+        )
+        cur = jnp.concatenate([cur[:, 1:], next_pos[:, None]], axis=1)
+    feats, nbrs_ref = case.preprocess_eval((cur, ptype_j), nbrs_ref)
+    out, _ = apply(params, {}, (feats, ptype_j))
+    acc_pred = jnp.asarray(out["acc"], jnp.float64)
+
+    def disp(a, b):
+        d = a - b
+        return d - box * jnp.round(d / box)
+
+    p64 = jnp.asarray(pos, jnp.float64)
+    cur_vel = disp(p64[:, isl - 1 + unroll], p64[:, isl - 2 + unroll])
+    next_vel = disp(p64[:, isl + unroll], p64[:, isl - 1 + unroll])
+    acc_t = (
+        next_vel - cur_vel - stats["acceleration"]["mean"]
+    ) / stats["acceleration"]["std"]
+    non_kin = ~get_kinematic_mask(ptype_j)
+    per_node = jnp.sum((acc_pred - acc_t) ** 2, axis=-1)
+    loss_ref = float(
+        jnp.sum(jnp.where(non_kin, per_node, 0.0)) / non_kin.sum()
+    )
+
+    # --- spatial step, 1 device ---
+    mesh = make_mesh(1)
+    pos_sh, ptype_sh, counts, _ = spatial_partition(
+        pos_full, ptype, 1, box_x=box
+    )
+    step, fp = build_spatial_gns_train_step(
+        mesh, params, box=[box] * dim, cutoff=cutoff,
+        input_seq_length=isl, num_mp_steps=mp_steps,
+        k_cap=nbrs.idx.shape[1],
+        normalization_stats=stats, compute_dtype=jnp.float64,
+    )
+    loss, _, overflow = step(
+        jax.tree.map(jnp.asarray, fp), jnp.asarray(pos_sh),
+        jnp.asarray(ptype_sh), jnp.asarray(counts), unroll_steps=unroll,
+    )
+    assert not bool(overflow)
+    np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-9)
