@@ -913,7 +913,9 @@ def test_train_spatial_loop_smoke():
         seq_len_eval=20, n_trajs=2, name="TSP",
     )
     isl = 4
-    data_train = H5Dataset("train", dataset_path=path, input_seq_length=isl)
+    # extra frame for the pushforward unroll (max_unroll=1 below)
+    data_train = H5Dataset("train", dataset_path=path, input_seq_length=isl,
+                           extra_seq_length=1)
     data_valid = H5Dataset("valid", dataset_path=path, input_seq_length=isl,
                            extra_seq_length=8)
     md = data_train.metadata
@@ -941,6 +943,12 @@ def test_train_spatial_loop_smoke():
     cfg_train.optimizer.lr_decay_steps = 1000
     cfg_train.optimizer.lr_decay_rate = 0.1
     cfg_train.optimizer.lr_final = 1e-6
+    # pushforward: unroll 0 at step 0, unroll 1 from step 1 on — the loop
+    # exercises both compiled step variants
+    cfg_train.pushforward = Config()
+    cfg_train.pushforward.steps = [-1, 0]
+    cfg_train.pushforward.unrolls = [0, 1]
+    cfg_train.pushforward.probs = [0, 1]
     cfg_logging = Config()
     cfg_logging.log_steps = 1
     cfg_logging.eval_steps = 2
