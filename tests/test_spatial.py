@@ -1241,3 +1241,41 @@ def test_spatial_pushforward_loss_matches_standard_semantics():
     )
     assert not bool(overflow)
     np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-9)
+
+
+def test_host_gns_noise_matches_strats_semantics():
+    """_host_gns_noise mirrors strats.add_gns_noise's contract: kinematic
+    particles untouched, every frame from the last input on shifted by
+    the SAME offset (so target velocities/accelerations stay consistent),
+    and the last input step's velocity noise has std ~= noise_std."""
+    from lagrangebench_tpu.parallel.spatial import _host_gns_noise
+
+    rng = np.random.default_rng(0)
+    n, isl, t, dim, box = 50000, 6, 8, 2, 1.0
+    noise_std = 3e-4
+    pos = rng.uniform(0.1, 0.9, size=(n, t, dim))
+    ptype = np.zeros(n, np.int32)
+    ptype[:100] = 1  # walls
+    ptype[100:200] = 2  # moving walls
+
+    out = _host_gns_noise(
+        np.random.default_rng(1), pos, ptype, isl, noise_std, [box] * dim
+    )
+
+    # kinematic rows: bitwise unchanged (mod of untouched positions)
+    np.testing.assert_array_equal(out[:200], np.mod(pos[:200], box))
+    # fluid rows ARE perturbed
+    assert np.abs(out[200:, :isl] - pos[200:, :isl]).max() > 0
+    # frames isl-1..t-1 share one offset per particle (targets shifted by
+    # the last input frame's noise)
+    off = out[:, isl - 1] - pos[:, isl - 1]
+    for f in range(isl, t):
+        np.testing.assert_allclose(out[:, f] - pos[:, f], off, atol=1e-12)
+    # last input step's velocity noise std ~= noise_std (the random-walk
+    # scaling contract of strats.random_walk_position_noise)
+    dvel = (out[200:, isl - 1] - out[200:, isl - 2]) - (
+        pos[200:, isl - 1] - pos[200:, isl - 2]
+    )
+    assert abs(dvel.std() / noise_std - 1.0) < 0.05
+    # frame 0 carries no noise
+    np.testing.assert_allclose(out[:, 0], np.mod(pos[:, 0], box))
