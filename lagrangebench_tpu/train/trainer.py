@@ -478,21 +478,35 @@ class Trainer:
                             )
                         )
                     nbrs = self._eval_neighbors
-                    eval_metrics = eval_rollout(
-                        case=self.case,
-                        metrics_computer=self.metrics_computer,
-                        model_apply=self.model_apply,
-                        params=params,
-                        state=state,
-                        neighbors=nbrs,
-                        loader_eval=self.loader_valid,
-                        n_rollout_steps=int(cfg_eval.n_rollout_steps),
-                        n_trajs=int(cfg_eval.train.n_trajs),
-                        rollout_dir=cfg_eval.rollout_dir,
-                        out_type=cfg_eval.train.out_type,
-                        mesh=self.mesh,
-                    )
-                    metrics = averaged_metrics(eval_metrics)
+                    try:
+                        eval_metrics = eval_rollout(
+                            case=self.case,
+                            metrics_computer=self.metrics_computer,
+                            model_apply=self.model_apply,
+                            params=params,
+                            state=state,
+                            neighbors=nbrs,
+                            loader_eval=self.loader_valid,
+                            n_rollout_steps=int(cfg_eval.n_rollout_steps),
+                            n_trajs=int(cfg_eval.train.n_trajs),
+                            rollout_dir=cfg_eval.rollout_dir,
+                            out_type=cfg_eval.train.out_type,
+                            mesh=self.mesh,
+                        )
+                        metrics = averaged_metrics(eval_metrics)
+                    except RuntimeError as exc:
+                        # a DIVERGED model can cluster particles so densely
+                        # that rollout neighbor capacity cannot escalate far
+                        # enough (seen with EGNN, whose rollout instability
+                        # the reference also reports: baselines.rst
+                        # "unstable"). An in-training eval must not kill the
+                        # run — record an infinite val loss (never becomes
+                        # the best checkpoint) and keep training.
+                        print(
+                            f"{step}, eval rollout failed ({exc}); "
+                            "recording val/loss=inf and continuing"
+                        )
+                        metrics = {"val/loss": float("inf")}
                     if store_ckp is not None:
                         save_checkpoint(
                             store_ckp, params, state, opt_state,

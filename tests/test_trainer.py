@@ -129,3 +129,29 @@ def test_deferred_overflow_sync_matches_per_step(env):
     p2, _, _ = t2.train(step_max=5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_rollout_failure_does_not_kill_training(env, tmp_path, monkeypatch):
+    """A diverged model can overflow the rollout neighbor list past its
+    escalation cap (the reference reports EGNN 'unstable' in rollout);
+    the in-training eval records val/loss=inf and training continues."""
+    import lagrangebench_tpu.train.trainer as trainer_mod
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("neighbor list kept overflowing during rollout")
+
+    monkeypatch.setattr(trainer_mod, "eval_rollout", boom)
+    ckp = os.path.join(str(tmp_path), "ckp")
+    trainer = make_trainer(env, eval_steps=2)
+    params, _, _ = trainer.train(step_max=5, store_ckp=ckp)
+    # training ran to completion despite the failing evals
+    assert params is not None
+    leaves = [np.asarray(x) for x in jax.tree.leaves(params)]
+    assert all(np.isfinite(leaf).all() for leaf in leaves)
+    # checkpoints were still written, with an infinite (never-best) loss
+    _, _, _, step = load_checkpoint(ckp)
+    assert step >= 4
+    import json
+
+    meta = json.load(open(os.path.join(ckp, "metadata_ckp.json")))
+    assert meta["loss"] == float("inf")
