@@ -216,7 +216,8 @@ def _make_fused_kernel(has_enc: bool):
 
 
 def _pick_tile(n: int, k: int, tile: int, row_budget: int = 4800,
-               affine_cap: bool = False) -> int:
+               affine_cap: bool = False,
+               hard_cap: Optional[int] = None) -> int:
     """Receiver-tile size bounded by VMEM: tile*K edge rows per launch.
 
     ``row_budget`` is calibrated against the default 16 MiB scoped-VMEM
@@ -242,6 +243,10 @@ def _pick_tile(n: int, k: int, tile: int, row_budget: int = 4800,
     if affine_cap:
         cap_a = int(scale_budget(5184) / max(k, 1)) - 40
         cap = max(min(cap, cap_a // 8 * 8), 8)
+    if hard_cap is not None:
+        # caller-measured absolute tile ceiling (kernels whose VMEM cost
+        # is not row-proportional — see ops/painn_msg.py)
+        cap = max(min(cap, hard_cap // 8 * 8), 8)
     # always take the largest in-budget divisor: fewer grid steps amortize
     # per-tile overheads (a smaller dividing tile is NOT preferred — at
     # 16k rows, tile 128 vs 200 costs ~1 ms/step across 10 MP launches)

@@ -112,9 +112,15 @@ _painn_message_vjp.defvjp(_painn_message_vjp_fwd, _painn_message_vjp_bwd)
 def _painn_message_pallas(g, wij, neg_dir, h, interpret):
     n, k, gw = g.shape
     dim = neg_dir.shape[-1]
-    # VMEM scales with K * (packed width): budget in K-rows like the MP
-    # kernel but corrected for the wider (3H + dim*H vs H) rows
-    tile = _pick_tile(n, k * max(1, gw // 256), 128)
+    # VMEM scales with K * (packed width) — budget in K-rows like the MP
+    # kernel, corrected for the wider (3H + dim*H vs H) rows — BUT the
+    # measured admissibility boundary is also tile-absolute: at h=128 the
+    # compile probe OOMs at tile 128 for (n=2560, k=16: 16.38M) and even
+    # (n=3200, k=12: 18.38M — cost is NOT row-proportional), while
+    # tile<=96 passes everywhere probed up to n=8000 / k=24. Hence the
+    # 96-row hard cap plus a 3072 eff-row budget (k=24 -> 64, probed ok).
+    tile = _pick_tile(n, k * max(1, gw // 256), 96, row_budget=3072,
+                      hard_cap=96)
     n_pad = -n % tile
     if n_pad:
         pad3 = ((0, n_pad), (0, 0), (0, 0))
