@@ -104,14 +104,23 @@ def convert_jax_sph_dir(
     split: str = "80_10_10",
     skip_first_n_frames: int = 0,
     slice_every_nth_frame: int = 1,
+    trim: Optional[bool] = None,
 ) -> str:
-    """Convert a jax-sph output directory into a LagrangeBench dataset."""
+    """Convert a jax-sph output directory into a LagrangeBench dataset.
+
+    ``trim`` controls the jax-sph outer-wall-padding trim: None (default)
+    auto-detects "ldc"/"db" in the source path like the reference;
+    False disables it (the in-repo WCSPH generator places no padding
+    outside the domain, so its LDC/DAM output must NOT be trimmed).
+    """
     os.makedirs(dst_dir, exist_ok=True)
-    trim_key = next(
-        (k for k in _TRIM_DOMAINS if k in os.path.basename(src_dir).lower()
-         or k in src_dir.lower()),
-        None,
-    )
+    trim_key = None
+    if trim is not False:
+        trim_key = next(
+            (k for k in _TRIM_DOMAINS if k in os.path.basename(src_dir).lower()
+             or k in src_dir.lower()),
+            None,
+        )
 
     dirs = [
         d for d in os.listdir(src_dir)
@@ -158,7 +167,10 @@ def convert_jax_sph_dir(
                 )
                 for d in dirs[cuts[i] : cuts[i + 1]]
             ]
-        seq_train = seq_test = per_split["train"][0][0].shape[0] - 1
+        # per-split sequence lengths (test trajectories may be longer,
+        # e.g. for long-horizon rollout evaluation)
+        seq_train = min(p.shape[0] for p, _ in per_split["train"]) - 1
+        seq_test = min(p.shape[0] for p, _ in per_split["test"]) - 1
         n_train, n_test = len(dirs) - 2 * num_eval, num_eval
         cfg = _load_config(os.path.join(src_dir, dirs[-1]))
 
@@ -234,10 +246,13 @@ def main():
     parser.add_argument("--split", type=str, default="80_10_10")
     parser.add_argument("--skip_first_n_frames", type=int, default=0)
     parser.add_argument("--slice_every_nth_frame", type=int, default=1)
+    parser.add_argument("--no_trim", action="store_true",
+                        help="disable the jax-sph outer-wall trim heuristic")
     args = parser.parse_args()
     convert_jax_sph_dir(
         args.src_dir, args.dst_dir, args.split,
         args.skip_first_n_frames, args.slice_every_nth_frame,
+        trim=False if args.no_trim else None,
     )
 
 

@@ -87,3 +87,101 @@ def test_wcsph_tgv_run_is_physical():
     # pairwise-antisymmetric forces conserve momentum
     np.testing.assert_allclose(mom, mom0, atol=1e-8)
     assert np.all(np.asarray(r) >= 0) and np.all(np.asarray(r) < 1.0)
+
+
+# -- wall-bounded / forced cases ---------------------------------------------
+
+
+def test_wcsph_hydrostatic_tank_stays_put():
+    """Still water in a walled tank under gravity stays (nearly) still.
+
+    The Adami wall pressure extrapolation must balance gravity: after a
+    few hundred substeps the fluid's kinetic energy stays tiny relative
+    to the hydrostatic scale (g * H = 1 * 0.5 here) and no particle
+    leaks through the 3 wall layers.
+    """
+    from lagrangebench_tpu.data_gen.wcsph import dam_initial_state, make_sph
+
+    dx = 0.05
+    # a "dam" whose column spans the full tank width = a resting pool
+    r, v, tag, box, wall = dam_initial_state(
+        dx,
+        np.random.default_rng(3),
+        tank=(1.0, 1.0),
+        column=(1.0, 0.5),
+        jitter=0.01,
+    )
+    nl_fns, advance, dt = make_sph(
+        dx, box, visc=0.05, c0=15.0, pbc=[False, False],
+        g_ext=[0.0, -1.0], wall_mask=wall, free_surface=True,
+    )
+    r = jnp.asarray(r, jnp.float64)
+    v = jnp.asarray(v, jnp.float64)
+    nbrs = nl_fns.allocate(r)
+    r, v, nbrs = advance(r, v, nbrs, 400)
+    assert not bool(nbrs.did_buffer_overflow)
+    vf = np.asarray(v)[~wall]
+    rf = np.asarray(r)[~wall]
+    # residual velocities small vs the free-fall scale sqrt(2 g H) ~ 1
+    assert np.abs(vf).max() < 0.25, np.abs(vf).max()
+    # no fluid particle left the tank (walls at [0, 3dx] margins)
+    assert rf[:, 0].min() > 2 * dx and rf[:, 0].max() < box[0] - 2 * dx
+    assert rf[:, 1].min() > 2 * dx
+    # walls never moved
+    rw0 = dam_initial_state(
+        dx, np.random.default_rng(3), tank=(1.0, 1.0), column=(1.0, 0.5),
+        jitter=0.01,
+    )[0][wall]
+    np.testing.assert_allclose(np.asarray(r)[wall], rw0, atol=1e-12)
+
+
+def test_wcsph_rpf_force_accelerates_bands():
+    """The band force drives +x flow in the lower half, -x in the upper."""
+    from lagrangebench_tpu.data_gen.wcsph import (
+        make_sph, rpf_force_fn, rpf_initial_state,
+    )
+
+    dx = 1.0 / 16.0
+    box = [1.0, 2.0]
+    r, v, tag = rpf_initial_state(dx, np.random.default_rng(0), box=box)
+    nl_fns, advance, dt = make_sph(
+        dx, box, visc=0.1, c0=10.0, pbc=[True, True], force_fn=rpf_force_fn
+    )
+    rj = jnp.asarray(r, jnp.float64)
+    vj = jnp.asarray(v, jnp.float64)
+    nbrs = nl_fns.allocate(rj)
+    r2, v2, nbrs = advance(rj, vj, nbrs, 100)
+    assert not bool(nbrs.did_buffer_overflow)
+    v2 = np.asarray(v2)
+    r2 = np.asarray(r2)
+    lower = r2[:, 1] < 1.0
+    assert v2[lower, 0].mean() > 0.01
+    assert v2[~lower, 0].mean() < -0.01
+
+
+def test_wcsph_ldc_lid_drags_fluid():
+    """The moving lid (tag 2) drags nearby fluid in +x; walls never move."""
+    from lagrangebench_tpu.data_gen.wcsph import ldc_initial_state, make_sph
+
+    dx = 1.0 / 16.0
+    r, v, tag, box, wall = ldc_initial_state(
+        dx, np.random.default_rng(0), u_lid=1.0
+    )
+    assert (tag == 2).sum() > 0 and (tag == 1).sum() > 0
+    nl_fns, advance, dt = make_sph(
+        dx, box, visc=0.05, c0=10.0, pbc=[False, False],
+        wall_mask=wall, free_surface=True,
+    )
+    rj = jnp.asarray(r, jnp.float64)
+    vj = jnp.asarray(v, jnp.float64)
+    nbrs = nl_fns.allocate(rj)
+    r2, v2, nbrs = advance(rj, vj, nbrs, 300)
+    assert not bool(nbrs.did_buffer_overflow)
+    r2n, v2n = np.asarray(r2), np.asarray(v2)
+    # lid kept its prescribed velocity and did not move in y
+    np.testing.assert_allclose(v2n[tag == 2, 0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(r2n[wall], r[wall], atol=1e-12)
+    # fluid in the top band picked up positive x-velocity
+    fluid = tag == 0
+    top = fluid & (r[:, 1] > box[1] - 6 * dx)
+    assert v2n[top, 0].mean() > 0.02
