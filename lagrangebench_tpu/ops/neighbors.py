@@ -541,6 +541,35 @@ def neighbor_list(
         npart = n if num_particles is None else int(num_particles)
         pos_valid = pos[:npart]
 
+        from . import neighbors_host
+
+        if neighbors_host.available():
+            count = neighbors_host.count_edges(
+                pos_valid, box, periodic_all, cutoff
+            )
+            max_k = 1
+            if format in ("dense", "slot"):
+                idx, _ = neighbors_host.build_edges(
+                    pos_valid, box, periodic_all, cutoff, e_cap=count
+                )
+                per_row = np.bincount(idx[0], minlength=npart)
+                max_k = int(per_row.max()) if per_row.size else 1
+        else:
+            # chunked numpy fallback bounding the (chunk, N, dim) temporary
+            count = 0
+            max_k = 1
+            chunk = 1024
+            cutoff2 = cutoff * cutoff
+            for start in range(0, npart, chunk):
+                rows = pos_valid[start : start + chunk]
+                disp = rows[:, None, :] - pos_valid[None, :, :]
+                if periodic_all:
+                    disp = np.mod(disp + box * 0.5, box) - box * 0.5
+                within = np.sum(disp * disp, axis=-1) <= cutoff2
+                count += int(within.sum())
+                if format in ("dense", "slot") and within.size:
+                    max_k = max(max_k, int(within.sum(axis=1).max()))
+
         col_grid = None
         if grid is not None:
             size = np.asarray(grid.cell_size)
@@ -582,23 +611,45 @@ def neighbor_list(
                     occ = np.bincount(cid, minlength=n_bins)
                     max_occ = int(occ.max()) if occ.size else 1
                     cap = max(_round_up(max_occ * mult, 8), 8)
-                    # the scan kernel's VMEM footprint (see
-                    # neighbors_pallas: (C, CW) temporaries + the (CW, CW)
-                    # pair triangle) must fit the budget — column occupancy
-                    # grows ~N^(1/3), so very large systems have no
-                    # admissible column grid at all
-                    cw = (3 ** (len(box) - 1)) * cap
-                    # factor mirrors neighbors_pallas.make_edges_fn's
-                    # estimate (+dim planes live when emitting geometry)
-                    vm_factor = 32 + (4 * dim if emit_geometry else 0)
-                    if cap * cw * vm_factor + cw * cw * 2 >= _kernel_vmem_budget():
+                    # the scan kernel's live VMEM must fit the budget.
+                    # Two kernel regimes (see neighbors_pallas): the
+                    # monolithic one-shot stencil (temporaries (C, S*C) +
+                    # the (S*C, S*C) pair triangle) and, for the dense
+                    # format, the STREAMED stencil (one column per grid
+                    # step: (C, C) temporaries + resident (C, K) output
+                    # blocks) — an S-fold smaller footprint that keeps
+                    # large-N systems on the pallas path. Streamed pack
+                    # work is identical; its per-step accumulation adds
+                    # overhead, so a monolithic-admissible grid is
+                    # preferred via a modest cost penalty on streamed.
+                    from . import neighbors_pallas as nlp
+
+                    mono_ok = (
+                        nlp.vmem_monolithic(cap, dim, emit_geometry)
+                        < _kernel_vmem_budget()
+                    )
+                    if format == "dense":
+                        k_probe = max(_round_up(max_k * mult, 8), 8)
+                        str_ok = (
+                            nlp.vmem_streamed(
+                                cap, dim, k_probe, emit_geometry
+                            )
+                            < _kernel_vmem_budget()
+                        )
+                    else:
+                        # the slot-format kernel has no streamed variant
+                        str_ok = False
+                    if not (mono_ok or str_ok):
                         continue
                     cost = n_bins * cap * cap
+                    if not mono_ok:
+                        cost = int(cost * 1.25)
                     if best is None or cost < best[0]:
                         best = (cost, ncs, cap)
                 if best is None:
-                    # no column grid fits the kernel's VMEM budget: fall
-                    # back to the XLA celllist backend for this allocation
+                    # no column grid fits the kernel's VMEM budget (not
+                    # even the streamed dense variant): fall back to the
+                    # XLA celllist backend for this allocation
                     warnings.warn(
                         "pallas neighbor backend: column occupancy too "
                         "large for the kernel's VMEM budget at this system "
@@ -635,33 +686,6 @@ def neighbor_list(
         else:
             cell_cap = 0
 
-        from . import neighbors_host
-
-        if neighbors_host.available():
-            count = neighbors_host.count_edges(
-                pos_valid, box, periodic_all, cutoff
-            )
-            if format in ("dense", "slot"):
-                idx, _ = neighbors_host.build_edges(
-                    pos_valid, box, periodic_all, cutoff, e_cap=count
-                )
-                per_row = np.bincount(idx[0], minlength=npart)
-                max_k = int(per_row.max()) if per_row.size else 1
-        else:
-            # chunked numpy fallback bounding the (chunk, N, dim) temporary
-            count = 0
-            max_k = 1
-            chunk = 1024
-            cutoff2 = cutoff * cutoff
-            for start in range(0, npart, chunk):
-                rows = pos_valid[start : start + chunk]
-                disp = rows[:, None, :] - pos_valid[None, :, :]
-                if periodic_all:
-                    disp = np.mod(disp + box * 0.5, box) - box * 0.5
-                within = np.sum(disp * disp, axis=-1) <= cutoff2
-                count += int(within.sum())
-                if format in ("dense", "slot") and within.size:
-                    max_k = max(max_k, int(within.sum(axis=1).max()))
         e_cap = max(_round_up(max(count, 1) * mult, 128), 128)
         if format in ("dense", "slot"):
             # pallas (the fused-processor pairing): multiple of 8 keeps the

@@ -41,6 +41,27 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def vmem_monolithic(cap: int, dim: int, emit_geometry: bool) -> int:
+    """Live-VMEM estimate of the one-shot scan kernel (all stencil columns
+    concatenated): a few (C, S*C) f32 temporaries (+dim geometry planes)
+    plus the (S*C, S*C) bf16 prefix triangle."""
+    cw = (3 ** (dim - 1)) * cap
+    return cap * cw * 4 * (8 + (dim if emit_geometry else 0)) + cw * cw * 2
+
+
+def vmem_streamed(
+    cap: int, dim: int, k_cap: int, emit_geometry: bool
+) -> int:
+    """Live-VMEM estimate of the STREAMED scan kernel: one stencil column
+    per grid step, so temporaries and the prefix triangle are (C, C); the
+    accumulated output blocks ((C, K) senders + optional (C, K*(dim+1))
+    geometry) stay resident across the stencil steps."""
+    temps = cap * cap * 4 * (8 + (dim if emit_geometry else 0))
+    tri = cap * cap * 2
+    outs = cap * k_cap * 4 * (1 + ((dim + 1) if emit_geometry else 0))
+    return temps + tri + outs
+
+
 def _scan_kernel(
     base_ref,  # scalar prefetch: (n_tiles,) ext column index per tile
     *refs,
@@ -181,6 +202,132 @@ def _scan_kernel(
         n_payload_outs = len(payloads)
     ovf_ref = out_refs[n_payload_outs]
     ovf_ref[0] = jnp.max(counts).reshape(1, 1)
+
+
+def _scan_kernel_streamed(
+    base_ref,  # scalar prefetch (unused in-body; drives the send specs)
+    recv_pos_ref,
+    send_pos_ref,  # ONE stencil column per grid step
+    send_idx_ref,
+    *out_and_scratch,
+    cutoff2: float,
+    n_particles: int,
+    k_cap: int,
+    n_steps: int,
+    box: tuple,
+    pbc: tuple,
+    emit: str = "senders",
+    step_axis: int = 2,
+):
+    """Streamed variant of ``_scan_kernel`` for VMEM-inadmissible columns.
+
+    The stencil is a GRID dimension: each step loads ONE sender column
+    (C candidates) instead of concatenating all S columns, so the live
+    temporaries and the prefix triangle shrink from (C, S*C)/(S*C, S*C)
+    to (C, C)/(C, C) — an S(=3^(dim-1))-fold cut that keeps the kernel
+    admissible at large N (the monolithic kernel dies past ~27k
+    particles in 3D; see docs/performance.md "Large-N streamed NL").
+
+    Output K-slots accumulate across steps: a per-receiver committed
+    count carries in VMEM scratch, each step rank-packs its candidates
+    at ``carry + in-step-rank``, and slot selection sums into the
+    (step-invariant) output block. Total pack work is identical to the
+    monolithic kernel (K unrolled over the same S*C candidates); only
+    peak VMEM changes.
+    """
+    counts_ref = out_and_scratch[-1]
+    out_refs = out_and_scratch[:-1]
+    step = pl.program_id(step_axis)  # stencil step = LAST grid axis
+
+    rp = recv_pos_ref[0]  # (C, dim)
+    ndim = rp.shape[1]
+    wpos = send_pos_ref[0]  # (dim, C)
+    widx = send_idx_ref[0]  # (1, C)
+
+    n_payload_outs = 2 if emit == "geometry" else 1
+    ovf_ref = out_refs[n_payload_outs]
+
+    @pl.when(step == 0)
+    def _():
+        counts_ref[...] = jnp.zeros_like(counts_ref)
+        for r in out_refs[:n_payload_outs]:
+            r[0] = jnp.zeros_like(r[0])
+        ovf_ref[0] = jnp.zeros_like(ovf_ref[0])
+
+    dist2 = None
+    diffs = []
+    for dd in range(ndim):
+        diff = rp[:, dd : dd + 1] - wpos[dd : dd + 1, :]  # (C, C)
+        if pbc[dd]:
+            diff = diff - box[dd] * jnp.floor(diff * (1.0 / box[dd]) + 0.5)
+        if emit == "geometry":
+            diffs.append(diff)
+        dist2 = diff * diff if dist2 is None else dist2 + diff * diff
+    mask = (dist2 <= cutoff2) & (widx < n_particles)
+
+    cw = mask.shape[1]
+    tri_rows = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 0)
+    tri_cols = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 1)
+    tri = (tri_rows <= tri_cols).astype(jnp.bfloat16)
+    csum = jnp.dot(mask.astype(jnp.bfloat16), tri,
+                   preferred_element_type=jnp.float32)
+    carry = counts_ref[...].astype(jnp.int32)  # (C, 1) committed so far
+    slot = jnp.where(mask, carry + csum.astype(jnp.int32) - 1, -1)
+
+    if emit == "geometry":
+        inv_cutoff = 1.0 / float(cutoff2) ** 0.5
+        geom = [d * inv_cutoff for d in diffs] + [
+            jnp.sqrt(dist2) * inv_cutoff
+        ]
+    else:
+        geom = []
+    payloads = [widx.astype(jnp.float32)] + geom
+
+    cols = [[] for _ in payloads]
+    for k in range(k_cap):
+        sel = (slot == k).astype(jnp.float32)
+        for pi, pay in enumerate(payloads):
+            cols[pi].append(jnp.sum(sel * pay, axis=1, keepdims=True))
+
+    # accumulate this step's contributions (each (row, k) output slot is
+    # filled by exactly one stencil step — the one holding its k-th
+    # neighbor — so plain addition composes the steps)
+    acc = jnp.concatenate(cols[0], axis=1)  # (C, K)
+    out_refs[0][0] = out_refs[0][0] + acc.astype(jnp.int32)
+    if emit == "geometry":
+        inter = [
+            cols[pi][k]
+            for k in range(k_cap)
+            for pi in range(1, len(payloads))
+        ]
+        out_refs[1][0] = out_refs[1][0] + jnp.concatenate(inter, axis=1)
+
+    counts_new = counts_ref[...] + jnp.sum(
+        mask.astype(jnp.float32), axis=1, keepdims=True
+    )
+    counts_ref[...] = counts_new
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        counts = counts_new.astype(jnp.int32)
+        recv_valid = rp[:, 0:1] < 1e8
+        counts = jnp.where(recv_valid, counts, 0)
+        packed = out_refs[0][0]
+        k_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (packed.shape[0], k_cap), 1
+        )
+        valid_k = k_iota < counts
+        out_refs[0][0] = jnp.where(valid_k, packed, n_particles)
+        if emit == "geometry":
+            gplane = out_refs[1][0]
+            gk = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (packed.shape[0], gplane.shape[1]), 1
+                )
+                // (ndim + 1)
+            )
+            out_refs[1][0] = jnp.where(gk < counts, gplane, 0.0)
+        ovf_ref[0] = jnp.max(counts).reshape(1, 1)
 
 
 def _binning_kernel(
@@ -431,16 +578,17 @@ def make_edges_fn(
     box_t = tuple(float(b) for b in box)
     pbc_t = tuple(bool(p) for p in grid.pbc)
 
-    cw = n_steps * C
-    # a few (C, CW) temporaries + the (CW, CW) triangle dominate VMEM;
-    # geometry emission keeps the per-axis difference planes live
-    vmem_estimate = (
-        C * cw * 4 * (8 + (dim if emit_geometry else 0)) + cw * cw * 2
-    )
-    assert vmem_estimate < nb._kernel_vmem_budget(), (
-        f"column capacity {C} too large for the pallas kernel's VMEM "
-        "budget; use the celllist backend"
-    )
+    # monolithic (one-shot stencil) when it fits; else stream the stencil
+    # one column per grid step (the large-N path — same pack work, S-fold
+    # smaller live VMEM)
+    streamed = vmem_monolithic(C, dim, emit_geometry) >= nb._kernel_vmem_budget()
+    if streamed:
+        assert vmem_streamed(C, dim, k_cap, emit_geometry) < (
+            nb._kernel_vmem_budget()
+        ), (
+            f"column capacity {C} too large even for the streamed pallas "
+            "kernel; use the celllist backend"
+        )
 
     def _edges_impl(
         position: jnp.ndarray, num_particles: jnp.ndarray
@@ -502,17 +650,6 @@ def make_edges_fn(
             axis=1,
         ).reshape(bsz * (n_cols + 1), C, dim)
 
-        kernel = partial(
-            _scan_kernel,
-            cutoff2=cutoff2,
-            n_particles=n,
-            k_cap=k_cap,
-            n_steps=n_steps,
-            box=box_t,
-            pbc=pbc_t,
-            emit="geometry" if emit_geometry else "senders",
-        )
-
         # flat-row base table: sample bb's stencil step j for tile t reads
         # row bb*(n_cols+1) + bases[t, j] (bases==n_cols -> the sentinel)
         bases_b = (
@@ -520,85 +657,154 @@ def make_edges_fn(
             + bases[None, :, :]
         )
 
-        def _send_pos_spec(j):
-            return pl.BlockSpec(
-                (1, dim, C),
-                lambda bb, t, b, j=j: (b[bb, t, j], 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-
-        def _send_idx_spec(j):
-            return pl.BlockSpec(
-                (1, 1, C),
-                lambda bb, t, b, j=j: (b[bb, t, j], 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-
         geom_w = k_cap * (dim + 1)
-        geom_specs = (
-            [
-                pl.BlockSpec(
-                    (1, C, geom_w),
-                    lambda bb, t, b: (bb * n_tiles + t, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ]
-            if emit_geometry
-            else []
-        )
         geom_shapes = (
             [jax.ShapeDtypeStruct((bsz * n_tiles, C, geom_w), jnp.float32)]
             if emit_geometry
             else []
         )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(bsz, n_tiles),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, C, dim),
-                    lambda bb, t, b: (bb * (n_cols + 1) + t, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ]
-            + [_send_pos_spec(j) for j in range(n_steps)]
-            + [_send_idx_spec(j) for j in range(n_steps)],
-            out_specs=[
-                pl.BlockSpec(
-                    (1, C, k_cap),
-                    lambda bb, t, b: (bb * n_tiles + t, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ]
-            + geom_specs
-            + [
-                pl.BlockSpec(
-                    (1, 1, 1),
-                    lambda bb, t, b: (bb * n_tiles + t, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+        out_shape = (
+            [jax.ShapeDtypeStruct((bsz * n_tiles, C, k_cap), jnp.int32)]
+            + geom_shapes
+            + [jax.ShapeDtypeStruct((bsz * n_tiles, 1, 1), jnp.int32)]
         )
         pos_f32 = pos_f.astype(jnp.float32)
         pos_t = jnp.transpose(pos_f32, (0, 2, 1))
         idx_r = idx_f.reshape(bsz * (n_cols + 1), 1, C)
+
+        if streamed:
+            kernel = partial(
+                _scan_kernel_streamed,
+                cutoff2=cutoff2,
+                n_particles=n,
+                k_cap=k_cap,
+                n_steps=n_steps,
+                box=box_t,
+                pbc=pbc_t,
+                emit="geometry" if emit_geometry else "senders",
+                step_axis=2,
+            )
+            out_map = lambda bb, t, j, b: (bb * n_tiles + t, 0, 0)  # noqa: E731
+            geom_specs = (
+                [
+                    pl.BlockSpec(
+                        (1, C, geom_w), out_map, memory_space=pltpu.VMEM
+                    )
+                ]
+                if emit_geometry
+                else []
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bsz, n_tiles, n_steps),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, C, dim),
+                        lambda bb, t, j, b: (bb * (n_cols + 1) + t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, dim, C),
+                        lambda bb, t, j, b: (b[bb, t, j], 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, C),
+                        lambda bb, t, j, b: (b[bb, t, j], 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, C, k_cap), out_map, memory_space=pltpu.VMEM
+                    )
+                ]
+                + geom_specs
+                + [
+                    pl.BlockSpec(
+                        (1, 1, 1), out_map, memory_space=pltpu.VMEM
+                    ),
+                ],
+                scratch_shapes=[pltpu.VMEM((C, 1), jnp.float32)],
+            )
+            args = (jnp.asarray(bases_b), pos_f32, pos_t, idx_r)
+        else:
+            kernel = partial(
+                _scan_kernel,
+                cutoff2=cutoff2,
+                n_particles=n,
+                k_cap=k_cap,
+                n_steps=n_steps,
+                box=box_t,
+                pbc=pbc_t,
+                emit="geometry" if emit_geometry else "senders",
+            )
+
+            def _send_pos_spec(j):
+                return pl.BlockSpec(
+                    (1, dim, C),
+                    lambda bb, t, b, j=j: (b[bb, t, j], 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+
+            def _send_idx_spec(j):
+                return pl.BlockSpec(
+                    (1, 1, C),
+                    lambda bb, t, b, j=j: (b[bb, t, j], 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+
+            geom_specs = (
+                [
+                    pl.BlockSpec(
+                        (1, C, geom_w),
+                        lambda bb, t, b: (bb * n_tiles + t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ]
+                if emit_geometry
+                else []
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bsz, n_tiles),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, C, dim),
+                        lambda bb, t, b: (bb * (n_cols + 1) + t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ]
+                + [_send_pos_spec(j) for j in range(n_steps)]
+                + [_send_idx_spec(j) for j in range(n_steps)],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, C, k_cap),
+                        lambda bb, t, b: (bb * n_tiles + t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ]
+                + geom_specs
+                + [
+                    pl.BlockSpec(
+                        (1, 1, 1),
+                        lambda bb, t, b: (bb * n_tiles + t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+            )
+            args = (
+                jnp.asarray(bases_b),
+                pos_f32,
+                *([pos_t] * n_steps),
+                *([idx_r] * n_steps),
+            )
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((bsz * n_tiles, C, k_cap), jnp.int32),
-            ]
-            + geom_shapes
-            + [
-                jax.ShapeDtypeStruct((bsz * n_tiles, 1, 1), jnp.int32),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
-        )(
-            jnp.asarray(bases_b),
-            pos_f32,
-            *([pos_t] * n_steps),
-            *([idx_r] * n_steps),
-        )
+        )(*args)
         slot_senders, ovf = outs[0], outs[-1]
 
         # kernel emits interior columns only; scatter rows back to

@@ -174,30 +174,23 @@ def test_pallas_batched_overflow_per_sample():
     assert ovf.any()
 
 
-def test_pallas_vmem_fallback_to_celllist():
-    """Column occupancy beyond the kernel's VMEM budget falls back to the
-    XLA celllist backend instead of failing (large-N robustness).
-
-    A tall box concentrates all particles into 9 (x, y) columns (high
-    column occupancy -> VMEM-inadmissible) while keeping per-row neighbor
-    counts small, so the test stays fast on CPU.
-    """
+def test_pallas_vmem_fallback_to_celllist(monkeypatch):
+    """When even the STREAMED kernel estimate exceeds the VMEM budget the
+    allocation falls back to the XLA celllist backend with a warning (and
+    still produces the right edges). Forced with a tiny budget — at real
+    budgets the streamed kernel covers every size we can host."""
     import warnings as _w
 
-    import jax.numpy as jnp
-    import numpy as np
-
-    from lagrangebench_tpu.ops import neighbor_list, periodic
+    from lagrangebench_tpu.ops import neighbors as nb
 
     rng = np.random.default_rng(0)
-    n, dim = 1400, 3
-    box = [1.0, 1.0, 8.0]
-    cutoff = 0.33  # 3 cells/side in x/y -> 9 columns, ~155 particles each
-    pos = np.stack([
-        rng.uniform(0, 1, n), rng.uniform(0, 1, n), rng.uniform(0, 8, n)
-    ], axis=1)
-    pos = jnp.asarray(pos, jnp.float32)
+    n, dim = 512, 3
+    box = [1.0, 1.0, 1.0]
+    cutoff = 0.25
+    pos = jnp.asarray(rng.uniform(0, 1, (n, dim)), jnp.float32)
     disp, _ = periodic(jnp.asarray(box))
+
+    monkeypatch.setattr(nb, "_kernel_vmem_budget", lambda: 20_000)
     fns = neighbor_list(disp, box, cutoff, backend="pallas",
                         capacity_multiplier=1.25, format="dense",
                         pbc=[True] * dim)
@@ -206,26 +199,24 @@ def test_pallas_vmem_fallback_to_celllist():
         nbrs = fns.allocate(pos)
         assert any("VMEM budget" in str(r.message) for r in rec)
     assert not bool(nbrs.did_buffer_overflow)
-
-    # edges match the celllist reference
-    ref_fns = neighbor_list(disp, box, cutoff, backend="celllist",
-                            capacity_multiplier=1.25, format="dense",
-                            pbc=[True] * dim)
-    ref = ref_fns.allocate(pos)
-    a = np.asarray(nbrs.idx)
-    b = np.asarray(ref.idx)
-    for row in range(0, n, 101):
-        sa = set(a[row][a[row] < n])
-        sb = set(b[row][b[row] < n])
-        assert sa == sb, f"row {row} differs"
+    assert dense_edge_set(nbrs, n) == brute_force_edges(
+        np.asarray(pos), 1.0, cutoff, True
+    )
 
 
-def test_pallas_boost_beyond_vmem_falls_back():
+def test_pallas_boost_beyond_vmem_falls_back(monkeypatch):
     """Escalation retries can push the boosted column capacity past the
     pallas kernel's VMEM budget: the allocation must fall back to celllist
     for that retry (it used to assert inside the kernel factory — hit by
     long rollouts whose overflow retry escalates capacity_boost)."""
     import warnings as _w
+
+    from lagrangebench_tpu.ops import neighbors as nb
+
+    # budget that admits the boost-1 monolithic kernel but not the
+    # boost-8 streamed one (at real budgets the streamed kernel absorbs
+    # this boost; the celllist safety net must still exist behind it)
+    monkeypatch.setattr(nb, "_kernel_vmem_budget", lambda: 1_000_000)
 
     rng = np.random.default_rng(1)
     n, dim = 512, 3
@@ -333,3 +324,142 @@ def test_pallas_emit_geometry_batched_and_padded():
         # padded receiver rows: zero geometry
         assert np.all(np.asarray(nbrs_b.aux["rel_disp"][s][70:]) == 0.0)
         assert np.all(np.asarray(nbrs_b.aux["rel_dist"][s][70:]) == 0.0)
+
+# ---------------------------------------------------------------------------
+# streamed (large-N) scan kernel
+# ---------------------------------------------------------------------------
+
+
+def _shrunk_budget(monkeypatch, value):
+    from lagrangebench_tpu.ops import neighbors as nb
+
+    monkeypatch.setattr(nb, "_kernel_vmem_budget", lambda: value)
+
+
+@pytest.mark.parametrize("emit_geometry", [False, True])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_streamed_kernel_matches_bruteforce(monkeypatch, dim, emit_geometry):
+    """The streamed scan kernel (stencil as the innermost grid axis, one
+    sender column per step, K-slot accumulation across steps) must be
+    edge-set identical to brute force — forced onto the streamed path by
+    shrinking the VMEM budget below the monolithic estimate."""
+    rng = np.random.default_rng(11)
+    box, cutoff, n = 2.0, 0.31, 96
+    pos = rng.uniform(0, box, size=(n, dim))
+
+    # below each dim's monolithic estimate, above its streamed one
+    _shrunk_budget(monkeypatch, 150_000 if dim == 3 else 60_000)
+
+    disp, _ = periodic(box)
+    fns = neighbor_list(
+        disp,
+        [box] * dim,
+        cutoff,
+        backend="pallas",
+        format="dense",
+        pbc=[True] * dim,
+        emit_geometry=emit_geometry,
+    )
+    nbrs = fns.allocate(jnp.asarray(pos))
+    assert not bool(nbrs.did_buffer_overflow)
+    assert dense_edge_set(nbrs, n) == brute_force_edges(pos, box, cutoff, True)
+
+    # update path reuses the streamed kernel at fixed capacity
+    pos1 = np.mod(pos + rng.normal(0, 0.02, size=pos.shape), box)
+    nbrs1 = nbrs.update(jnp.asarray(pos1))
+    assert not bool(nbrs1.did_buffer_overflow)
+    assert dense_edge_set(nbrs1, n) == brute_force_edges(
+        pos1, box, cutoff, True
+    )
+
+    if emit_geometry:
+        import jax
+
+        senders = np.asarray(nbrs1.idx)
+        got_disp = np.asarray(nbrs1.aux["rel_disp"])
+        got_dist = np.asarray(nbrs1.aux["rel_dist"])
+        disp_vv = jax.vmap(jax.vmap(disp, in_axes=(0, 0)), in_axes=(0, 0))
+        recv = np.broadcast_to(pos1[:, None, :], senders.shape + (dim,))
+        send = pos1[np.minimum(senders, n - 1)]
+        want_disp = np.asarray(disp_vv(jnp.asarray(recv), jnp.asarray(send)))
+        valid = (senders < n)[..., None]
+        want_disp = np.where(valid, want_disp / cutoff, 0.0)
+        want_dist = np.linalg.norm(want_disp, axis=-1, keepdims=True)
+        np.testing.assert_allclose(got_disp, want_disp, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(got_dist, want_dist, rtol=2e-5, atol=2e-6)
+
+
+def test_streamed_vs_monolithic_same_edges(monkeypatch):
+    """Direct A/B: identical positions through both kernel regimes give
+    the identical sender matrix (not just the same edge set)."""
+    rng = np.random.default_rng(13)
+    box, cutoff, n = 2.0, 0.31, 128
+    pos = rng.uniform(0, box, size=(n, 3))
+    disp, _ = periodic(box)
+
+    fns_mono = neighbor_list(
+        disp, [box] * 3, cutoff, backend="pallas", format="dense"
+    )
+    nbrs_mono = fns_mono.allocate(jnp.asarray(pos))
+
+    _shrunk_budget(monkeypatch, 200_000)
+    fns_str = neighbor_list(
+        disp, [box] * 3, cutoff, backend="pallas", format="dense"
+    )
+    nbrs_str = fns_str.allocate(jnp.asarray(pos))
+    assert dense_edge_set(nbrs_mono, n) == dense_edge_set(nbrs_str, n)
+
+
+def test_streamed_overflow_flag(monkeypatch):
+    """Row overflow (counts beyond K capacity) is detected on the
+    streamed path just like the monolithic one."""
+    rng = np.random.default_rng(17)
+    box, cutoff, n = 3.0, 0.4, 128
+    _shrunk_budget(monkeypatch, 200_000)
+    disp, _ = periodic(box)
+    fns = neighbor_list(
+        disp, [box] * 3, cutoff, backend="pallas", format="dense"
+    )
+    pos0 = rng.uniform(0, box, size=(n, 3))
+    nbrs = fns.allocate(jnp.asarray(pos0))
+    assert not bool(nbrs.did_buffer_overflow)
+    dense_pos = 1.5 + 0.01 * rng.uniform(size=(n, 3))
+    nbrs2 = nbrs.update(jnp.asarray(dense_pos))
+    assert bool(nbrs2.did_buffer_overflow)
+
+
+def test_tall_box_streams_instead_of_celllist_fallback():
+    """A column-dense system that used to exceed the monolithic kernel's
+    VMEM budget (and fell back to celllist) now stays on pallas via the
+    streamed kernel — no fallback warning — and matches the celllist
+    edge set."""
+    import warnings as _w
+
+    rng = np.random.default_rng(0)
+    n, dim = 1400, 3
+    box = [1.0, 1.0, 8.0]
+    cutoff = 0.33  # 9 (x, y) columns, ~155 particles each
+    pos = np.stack([
+        rng.uniform(0, 1, n), rng.uniform(0, 1, n), rng.uniform(0, 8, n)
+    ], axis=1)
+    pos = jnp.asarray(pos, jnp.float32)
+    disp, _ = periodic(jnp.asarray(box))
+    fns = neighbor_list(disp, box, cutoff, backend="pallas",
+                        capacity_multiplier=1.25, format="dense",
+                        pbc=[True] * dim)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        nbrs = fns.allocate(pos)
+        assert not any("VMEM budget" in str(r.message) for r in rec)
+    assert not bool(nbrs.did_buffer_overflow)
+
+    ref_fns = neighbor_list(disp, box, cutoff, backend="celllist",
+                            capacity_multiplier=1.25, format="dense",
+                            pbc=[True] * dim)
+    ref = ref_fns.allocate(pos)
+    a = np.asarray(nbrs.idx)
+    b = np.asarray(ref.idx)
+    for row in range(0, n, 101):
+        sa = set(a[row][a[row] < n])
+        sb = set(b[row][b[row] < n])
+        assert sa == sb, f"row {row} differs"
