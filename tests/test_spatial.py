@@ -1279,3 +1279,110 @@ def test_host_gns_noise_matches_strats_semantics():
     assert abs(dvel.std() / noise_std - 1.0) < 0.05
     # frame 0 carries no noise
     np.testing.assert_allclose(out[:, 0], np.mod(pos[:, 0], box))
+
+
+@pytest.mark.parametrize("model_name", ["segnn", "egnn"])
+def test_train_spatial_loop_smoke_steerable(model_name):
+    """Loop-level spatial-training coverage for the steerable families.
+
+    Grad parity for segnn/egnn is covered algebraically by
+    test_spatial_train_step_matches_single_device; this exercises the
+    actual training LOOP (data pipeline, partitioning, optimizer,
+    checkpointing) on a 4-device mesh, which previously only gns/painn
+    had."""
+    import os
+    import tempfile
+
+    from lagrangebench_tpu.config import Config
+    from lagrangebench_tpu.data.synthetic import make_synthetic_dataset
+    from lagrangebench_tpu.data import H5Dataset
+    from lagrangebench_tpu.checkpoint import load_checkpoint
+    from lagrangebench_tpu.parallel.spatial import train_spatial
+
+    root = tempfile.mkdtemp()
+    path = make_synthetic_dataset(
+        root, n_particles=512, dim=3, box=1.0, seq_len_train=30,
+        seq_len_eval=20, n_trajs=2, name="TSP",
+    )
+    isl = 4
+    data_train = H5Dataset("train", dataset_path=path, input_seq_length=isl,
+                           extra_seq_length=1)
+    data_valid = H5Dataset("valid", dataset_path=path, input_seq_length=isl,
+                           extra_seq_length=8)
+    md = data_train.metadata
+
+    case = case_builder(
+        box=[1.0] * 3, metadata=md, input_seq_length=isl,
+        cfg_neighbors={"backend": "celllist", "multiplier": 1.4,
+                       "format": "dense"},
+        noise_std=3e-4,
+        cfg_model={"magnitude_features": True},
+    )
+    mp_steps = 2
+    if model_name == "segnn":
+        from lagrangebench_tpu.models.e3 import Irreps
+        from lagrangebench_tpu.models.segnn import SEGNN, node_feature_irreps
+
+        model = SEGNN(
+            node_features_irreps=node_feature_irreps(md, isl, False, True, True),
+            edge_features_irreps=Irreps("1x1o + 1x0e"),
+            scalar_units=8, lmax_hidden=1, lmax_attributes=1,
+            output_irreps=Irreps("1x1o"), num_mp_steps=mp_steps,
+            n_vels=isl - 1,
+        )
+    else:
+        from lagrangebench_tpu.models.egnn import EGNN
+        from lagrangebench_tpu.ops import space
+
+        disp, shift = space.periodic(jnp.full(3, 1.0))
+        stats = case.normalization_stats
+        model = EGNN(
+            hidden_size=8, output_size=1, dt=0.01, n_vels=isl - 1,
+            displacement_fn=disp, shift_fn=shift,
+            velocity_stats=stats["velocity"], num_mp_steps=mp_steps,
+        )
+    init, apply = make_model_fns(model)
+    pos0, ptype0 = data_train[0]
+    features, _ = case.allocate_eval(
+        (np.asarray(pos0)[:, :isl], np.asarray(ptype0))
+    )
+    params0, _ = init(jax.random.PRNGKey(0), (features, np.asarray(ptype0)))
+
+    cfg_train = Config()
+    cfg_train.batch_size = 2
+    cfg_train.noise_std = 3e-4
+    cfg_train.step_max = 3
+    cfg_train.optimizer = Config()
+    cfg_train.optimizer.lr_start = 1e-3
+    cfg_train.optimizer.lr_decay_steps = 1000
+    cfg_train.optimizer.lr_decay_rate = 0.1
+    cfg_train.optimizer.lr_final = 1e-6
+    cfg_train.pushforward = Config()
+    cfg_train.pushforward.steps = [-1]
+    cfg_train.pushforward.unrolls = [0]
+    cfg_train.pushforward.probs = [1]
+    cfg_logging = Config()
+    cfg_logging.log_steps = 1
+    cfg_logging.eval_steps = 2
+
+    ckp = os.path.join(root, "ckp")
+    std_params, state, _ = train_spatial(
+        params0, case, data_train, data_valid,
+        n_devices=4, model=model_name, num_mp_steps=mp_steps,
+        model_def=model,
+        cfg_train=cfg_train, cfg_logging=cfg_logging,
+        input_seq_length=isl, metadata=md, seed=0, store_ckp=ckp,
+    )
+    # the loop ran, checkpointed in the standard layout, and the returned
+    # params are finite, consumable by the standard model, and updated
+    _, _, _, step = load_checkpoint(ckp)
+    assert step == 2
+    out, _ = apply(std_params, {}, (features, jnp.asarray(ptype0)))
+    key = "acc" if model_name == "segnn" else "pos"
+    assert np.isfinite(np.asarray(out[key])).all()
+    moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(jax.tree.leaves(std_params), jax.tree.leaves(params0))
+        if np.asarray(a).dtype.kind == "f"
+    )
+    assert moved

@@ -68,7 +68,10 @@ def make_trainer(env, tmp=None, **overrides):
         "train": {"n_trajs": 1, "metrics": ["mse"]},
         "infer": {"batch_size": 1},
     }
-    cfg_logging = {"log_steps": 2, "eval_steps": overrides.pop("eval_steps", 100)}
+    cfg_logging = {
+        "log_steps": overrides.pop("log_steps", 2),
+        "eval_steps": overrides.pop("eval_steps", 100),
+    }
     return Trainer(
         (init, apply),
         case,
@@ -155,3 +158,65 @@ def test_eval_rollout_failure_does_not_kill_training(env, tmp_path, monkeypatch)
 
     meta = json.load(open(os.path.join(ckp, "metadata_ckp.json")))
     assert meta["loss"] == float("inf")
+
+
+def test_deferred_overflow_failure_window(env, capsys):
+    """Overflow mid-window (overflow_sync_every>1): the conditional commit
+    + sticky flag freeze params/opt-state bit-identically for the rest of
+    the window, exactly ONE reallocation happens at the next sync point,
+    and training resumes afterwards (trainer.py deferred-sync docs).
+
+    The overflow is injected by forcing the sticky ``did_buffer_overflow``
+    flag on the neighbor list returned at step 2 — from there the real
+    machinery runs: update() ORs the previous flag forward, the jitted
+    step refuses to commit, and the step-4 sync detects + reallocates.
+    """
+    trainer = make_trainer(
+        env,
+        cfg_train_extra={"overflow_sync_every": 4},
+        log_steps=100,
+        eval_steps=100,
+    )
+    orig = None
+    records = []  # (params, opt_state, capacity) per _train_step call
+
+    def wrapped(params, state, opt_state, keys, raw_batch, neighbors_batch,
+                noise_std, unroll_steps):
+        out = orig(params, state, opt_state, keys, raw_batch,
+                   neighbors_batch, noise_std, unroll_steps)
+        loss, p, s, o, k, nbrs_b, overflow = out
+        if len(records) == 2:  # step 2: inject a "buffer overflowed" event
+            nbrs_b = nbrs_b.replace(
+                did_buffer_overflow=jnp.ones_like(nbrs_b.did_buffer_overflow)
+            )
+        records.append((p, o, nbrs_b.idx.shape[-1]))
+        return loss, p, s, o, k, nbrs_b, overflow
+
+    # build the jitted step once, then interpose
+    trainer._train_step  # noqa: B018 - touch to ensure attribute exists
+    orig = trainer._train_step
+    trainer._train_step = wrapped
+    params, _, _ = trainer.train(step_max=7)
+    trainer._train_step = orig
+
+    def same(a, b):
+        return all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    # calls: steps 0,1,2 commit; step 3 + step 4 (attempt 0) frozen
+    # bit-identically; step 4 retry (call 5) and steps 5-7 commit again.
+    assert len(records) == 9, len(records)  # 8 steps + 1 retry
+    p, o = [r[0] for r in records], [r[1] for r in records]
+    assert not same(p[1], p[2])  # step 2 still committed (flag set after)
+    assert same(p[2], p[3]) and same(o[2], o[3])  # window: frozen
+    assert same(p[2], p[4]) and same(o[2], o[4])  # detection attempt: frozen
+    assert not same(p[4], p[5])  # retry after realloc: committed
+    assert not same(p[5], p[6])  # training resumed
+    assert all(np.isfinite(x).all() for x in map(np.asarray, jax.tree.leaves(params)))
+
+    # exactly one reallocation, at the sync step
+    out = capsys.readouterr().out
+    assert out.count("Reallocate neighbors list at step 4") == 1
+    assert out.count("Reallocate") == 1
