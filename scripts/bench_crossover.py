@@ -30,6 +30,22 @@ def celllist_row(n: int) -> dict:
     }
 
 
+def pallas_row(n: int) -> dict:
+    """Pallas NL path at large N — the streamed scan kernel (stencil as a
+    grid axis) keeps these sizes VMEM-admissible; before it, pallas fell
+    back to celllist past ~27k particles (see the streamed-NL section of
+    docs/performance.md)."""
+    from bench import run_bench
+
+    r = run_bench(n_particles=n, backend="pallas", nl_multiplier=1.35)
+    return {
+        "path": "pallas",
+        "n": n,
+        "ms_per_step": r["detail"]["ms_per_rollout_step"],
+        "particle_steps_per_sec": r["value"],
+    }
+
+
 def spatial_row(n: int) -> dict:
     # run in a subprocess: the spatial pipeline builds its own mesh/state
     out = subprocess.run(
@@ -60,7 +76,7 @@ def main():
     sizes = [int(a) for a in sys.argv[1:]] or [64000, 100000, 150000]
     rows = []
     for n in sizes:
-        for fn in (celllist_row, spatial_row):
+        for fn in (pallas_row, celllist_row, spatial_row):
             try:
                 row = fn(n)
             except Exception as e:  # noqa: BLE001 — record, keep measuring

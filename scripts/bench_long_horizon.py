@@ -29,10 +29,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _load_trained(ckp_dir: str, data_dir: str, n_steps: int):
+    """Trained-model mode (env LONG_CKP + LONG_DATA): positions, targets,
+    case, and params come from a real dataset test trajectory and a
+    trained checkpoint, so the horizon runs at LEARNED density — the
+    random-init mode clusters particles, inflates per-row neighbor
+    counts, and lands on the celllist fallback (round-4 caveat row)."""
+    import jax.numpy as jnp
+
+    from lagrangebench_tpu.case import case_builder
+    from lagrangebench_tpu.checkpoint import load_checkpoint
+    from lagrangebench_tpu.config import load_yaml
+    from lagrangebench_tpu.data import H5Dataset
+    from lagrangebench_tpu.models import setup_model
+
+    cfg = load_yaml(os.path.join(ckp_dir, "config.yaml"))
+    isl = cfg.model.input_seq_length
+    data = H5Dataset(
+        "test", dataset_path=data_dir,
+        input_seq_length=isl, extra_seq_length=n_steps,
+    )
+    metadata = data.metadata
+    pos_full, ptype = data[0]  # (N, isl + n_steps, dim), (N,)
+    bounds = np.asarray(metadata["bounds"])
+    box = (bounds[:, 1] - bounds[:, 0]).tolist()
+    case = case_builder(
+        box=box, metadata=metadata, input_seq_length=isl,
+        cfg_neighbors=cfg.neighbors, cfg_model=cfg.model,
+        noise_std=cfg.train.noise_std,
+        external_force_fn=data.external_force_fn,
+    )
+    _, _, apply_fn = setup_model(
+        cfg.model, metadata,
+        has_external_force=data.external_force_fn is not None,
+        normalization_stats=case.normalization_stats,
+        homogeneous_particles=bool(ptype.max() == ptype.min()),
+    )
+    params, state, _, step = load_checkpoint(
+        os.path.join(ckp_dir, "best")
+    )
+    print(f"# trained mode: {ckp_dir} (step {step}), "
+          f"test traj 0 of {data_dir}", file=sys.stderr)
+    return case, metadata, apply_fn, params, state, np.asarray(pos_full), \
+        np.asarray(ptype), isl
+
+
 def main():
     n_steps = int(os.environ.get("LONG_STEPS", "400"))
     n_repeats = int(os.environ.get("LONG_REPEATS", "3"))
     stride = int(os.environ.get("LONG_STRIDE", "10"))
+    ckp_dir = os.environ.get("LONG_CKP")
+    data_dir = os.environ.get("LONG_DATA")
     n, dim, isl = 8000, 3, 6
 
     import jax
@@ -42,14 +89,21 @@ def main():
     from lagrangebench_tpu.evaluate.metrics import MetricsComputer
     from lagrangebench_tpu.evaluate.rollout import _build_rollout_fn
 
-    case, metadata, init_fn, apply_fn = _make_case_and_model(
-        n, dim=dim, isl=isl, backend="pallas", nl_format="dense",
-        compute_dtype="bfloat16", use_fused_processor=True,
-    )
-    pos = _grid_positions(n, dim, 1.0, isl)
-    ptype = np.zeros(n, dtype=np.int32)
-    features, neighbors = case.allocate_eval((pos[:, :isl], ptype))
-    params, state = init_fn(jax.random.PRNGKey(0), (features, ptype))
+    if ckp_dir and data_dir:
+        (case, metadata, apply_fn, params, state, pos_full, ptype,
+         isl) = _load_trained(ckp_dir, data_dir, n_steps)
+        n, dim = pos_full.shape[0], pos_full.shape[2]
+        pos = pos_full  # (N, isl + n_steps, dim)
+        features, neighbors = case.allocate_eval((pos[:, :isl], ptype))
+    else:
+        case, metadata, init_fn, apply_fn = _make_case_and_model(
+            n, dim=dim, isl=isl, backend="pallas", nl_format="dense",
+            compute_dtype="bfloat16", use_fused_processor=True,
+        )
+        pos = _grid_positions(n, dim, 1.0, isl)
+        ptype = np.zeros(n, dtype=np.int32)
+        features, neighbors = case.allocate_eval((pos[:, :isl], ptype))
+        params, state = init_fn(jax.random.PRNGKey(0), (features, ptype))
 
     rollout_fn = _build_rollout_fn(apply_fn, case, isl)
     metrics_computer = MetricsComputer(
@@ -63,11 +117,17 @@ def main():
 
     current = jnp.asarray(pos[None, :, :isl])  # (B=1, N, T, dim)
     ptype_b = jnp.asarray(ptype[None])
-    # synthetic ground truth: hold the initial frame (no kinematic
-    # particles, so targets only feed the metrics pass)
-    targets_tm = jnp.broadcast_to(
-        jnp.asarray(pos[:, isl - 1])[None, None], (n_steps, 1, n, dim)
-    )
+    if ckp_dir and data_dir:
+        # real ground truth from the test trajectory
+        targets_tm = jnp.transpose(
+            jnp.asarray(pos[None, :, isl : isl + n_steps]), (2, 0, 1, 3)
+        )  # (T, B, N, dim)
+    else:
+        # synthetic ground truth: hold the initial frame (no kinematic
+        # particles, so targets only feed the metrics pass)
+        targets_tm = jnp.broadcast_to(
+            jnp.asarray(pos[:, isl - 1])[None, None], (n_steps, 1, n, dim)
+        )
     targets_bm = jnp.transpose(targets_tm, (1, 2, 0, 3))  # (B, N, T, dim)
 
     from lagrangebench_tpu.utils import broadcast_to_batch
@@ -130,6 +190,9 @@ def main():
             "edges_capacity": e_cap,
             "capacity_boost": boost,
             "device": jax.devices()[0].device_kind,
+            "mode": "trained" if (ckp_dir and data_dir) else "random_init",
+            "checkpoint": ckp_dir,
+            "dataset": data_dir,
         },
     }))
 
