@@ -76,6 +76,8 @@ def make_sph(
     force_fn: Optional[Callable] = None,
     wall_mask: Optional[np.ndarray] = None,
     free_surface: bool = False,
+    nl_skin_h: float = 0.0,
+    nl_every: Optional[int] = None,
 ):
     """Build a WCSPH stepper.
 
@@ -112,6 +114,19 @@ def make_sph(
         free_surface: clamp fluid pressure to >= 0 (standard WCSPH
             free-surface treatment: the summation-density deficit at the
             surface would otherwise produce tensile attraction).
+        nl_skin_h: Verlet-skin width as a multiple of h. The neighbor
+            list is built with cutoff ``2h + skin`` and only rebuilt
+            every ``nl_every`` substeps; every pair term already
+            vanishes for q >= 2 (cubic spline support), so the extra
+            skin neighbors contribute exactly zero and the physics is
+            unchanged as long as no pair approaches by more than the
+            skin between rebuilds. 0 (default) keeps the original
+            rebuild-every-substep behavior bit-for-bit.
+        nl_every: rebuild period in substeps. Default (None) derives the
+            largest safe period from the CFL bound: pair closing speed
+            <= 2 u_max with u_max = c0/5 (WCSPH targets Mach <= 0.1, so
+            c0/5 is a 2x margin), giving
+            ``floor(skin / (2 u_max dt))``.
     """
     from ..defaults import resolve_backend
 
@@ -130,10 +145,16 @@ def make_sph(
         disp, shift = periodic(jnp.asarray(box))
     else:
         disp, shift = free()
+    skin = float(nl_skin_h) * h
+    if skin > 0 and nl_every is None:
+        u_max = c0 / 5.0
+        nl_every = max(1, int(skin / (2.0 * u_max * dt)))
+    elif nl_every is None:
+        nl_every = 1
     nl_fns = neighbor_list(
         disp,
         box,
-        2.0 * h,
+        2.0 * h + skin,
         backend=resolve_backend(backend),
         capacity_multiplier=capacity_multiplier,
         format="dense",
@@ -169,8 +190,16 @@ def make_sph(
         return jnp.concatenate([a, zero])[idx]
 
     def step(carry, _):
-        r, v, nbrs = carry
-        nbrs = nbrs.update(r)
+        r, v, nbrs, k = carry
+        if nl_every == 1:
+            nbrs = nbrs.update(r)
+        else:
+            # Verlet list: rebuild only on the period boundary. lax.cond
+            # executes one branch at runtime, so off-period substeps skip
+            # the (dominant) celllist rebuild entirely.
+            nbrs = jax.lax.cond(
+                k % nl_every == 0, lambda n: n.update(r), lambda n: n, nbrs
+            )
         idx = nbrs.idx  # (N, K) senders per receiver, fill = N
         n = r.shape[0]
         mask = idx < n
@@ -232,11 +261,15 @@ def make_sph(
         if wall is not None:
             v2 = jnp.where(wall[:, None], v, v2)  # prescribed wall velocity
             r2 = jnp.where(wall[:, None], r, r2)  # walls never move
-        return (r2, v2, nbrs), None
+        return (r2, v2, nbrs, k + 1), None
 
     @partial(jax.jit, static_argnums=3)
     def advance(r, v, nbrs, steps):
-        (r, v, nbrs), _ = jax.lax.scan(step, (r, v, nbrs), None, length=steps)
+        # k resets each call: the first substep of every advance() always
+        # rebuilds, so staleness never crosses a frame-write boundary.
+        (r, v, nbrs, _), _ = jax.lax.scan(
+            step, (r, v, nbrs, jnp.int32(0)), None, length=steps
+        )
         return r, v, nbrs
 
     return nl_fns, advance, dt
@@ -483,6 +516,8 @@ def generate_tgv_ensemble(
     dim: int = 2,
     n_frames_last: Optional[int] = None,
     n_last: int = 0,
+    nl_skin_h: float = 0.0,
+    capacity_multiplier: float = 2.0,
     verbose: bool = True,
 ) -> List[str]:
     """Simulate a Taylor-Green vortex ensemble to jax-sph layout.
@@ -505,7 +540,10 @@ def generate_tgv_ensemble(
     """
     dx, box = 1.0 / n_side, [1.0] * dim
     rng = np.random.default_rng(rng_seed)
-    nl_fns, advance, dt = make_sph(dx, box, visc=visc, c0=c0)
+    nl_fns, advance, dt = make_sph(
+        dx, box, visc=visc, c0=c0, nl_skin_h=nl_skin_h,
+        capacity_multiplier=capacity_multiplier,
+    )
     case_name = f"{dim}D_TGV_{n_side ** dim}"
 
     dirs = []

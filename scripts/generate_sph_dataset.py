@@ -102,12 +102,19 @@ def main():
             )
             split = split or "50_10_10"
         elif args.case == "tgv3d":
+            # 3D is the expensive case (K ~ 120 within the 3dx cutoff and
+            # a celllist rebuild that the column-Pallas kernel cannot
+            # admit at this box/cutoff ratio): a Verlet skin (rebuild
+            # every 3 substeps) + tight capacity keep it ~1.5x faster,
+            # and the ensemble is 20 trajectories (14/3/3 split) with the
+            # last two test trajectories long for 400-step rollouts.
             wcsph.generate_tgv_ensemble(
                 args.sim_dir, dim=3,
-                **opts(n_side=20, n_trajs=30, n_frames=126, write_every=40,
-                       visc=0.01, rng_seed=0, n_frames_last=426, n_last=5),
+                nl_skin_h=0.25, capacity_multiplier=1.5,
+                **opts(n_side=20, n_trajs=20, n_frames=126, write_every=40,
+                       visc=0.01, rng_seed=0, n_frames_last=426, n_last=2),
             )
-            split = split or "20_5_5"
+            split = split or "14_3_3"
         elif args.case == "dam":
             wcsph.generate_dam_ensemble(
                 args.sim_dir,
