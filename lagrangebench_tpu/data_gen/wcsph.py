@@ -518,6 +518,7 @@ def generate_tgv_ensemble(
     n_last: int = 0,
     nl_skin_h: float = 0.0,
     capacity_multiplier: float = 2.0,
+    backend: str = "auto",
     verbose: bool = True,
 ) -> List[str]:
     """Simulate a Taylor-Green vortex ensemble to jax-sph layout.
@@ -542,7 +543,7 @@ def generate_tgv_ensemble(
     rng = np.random.default_rng(rng_seed)
     nl_fns, advance, dt = make_sph(
         dx, box, visc=visc, c0=c0, nl_skin_h=nl_skin_h,
-        capacity_multiplier=capacity_multiplier,
+        capacity_multiplier=capacity_multiplier, backend=backend,
     )
     case_name = f"{dim}D_TGV_{n_side ** dim}"
 

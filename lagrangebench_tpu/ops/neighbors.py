@@ -516,7 +516,10 @@ def neighbor_list(
     periodic_all = any(pbc)
 
     def _count_and_caps(
-        position, num_particles, capacity_boost: float = 1.0
+        position,
+        num_particles,
+        capacity_boost: float = 1.0,
+        backend_override: Optional[str] = None,
     ) -> Tuple[int, int, object, str]:
         """Host-side exact edge count and cell capacity for this sample.
 
@@ -530,7 +533,7 @@ def neighbor_list(
         later allocations with admissible occupancy get the fast kernel
         back.
         """
-        eff_backend = backend
+        eff_backend = backend if backend_override is None else backend_override
         # escalation retries raise the effective multiplier BEFORE the
         # pallas VMEM-admissibility search, so a boost that no longer fits
         # the kernel budget falls back to celllist instead of asserting in
@@ -835,7 +838,11 @@ def neighbor_list(
         return update
 
     def allocate_shell(
-        position, num_particles=None, capacity_boost: float = 1.0, **kwargs
+        position,
+        num_particles=None,
+        capacity_boost: float = 1.0,
+        backend_override: Optional[str] = None,
+        **kwargs,
     ) -> NeighborList:
         """Size buffers from this sample WITHOUT building the edge list.
 
@@ -848,7 +855,7 @@ def neighbor_list(
         used by rollout retry loops to escalate after an overflow.
         """
         e_cap, cell_cap, col_grid, eff_backend = _count_and_caps(
-            position, num_particles, capacity_boost
+            position, num_particles, capacity_boost, backend_override
         )
         update = _make_update(e_cap, cell_cap, col_grid, eff_backend)
         n = position.shape[0]
@@ -893,13 +900,41 @@ def neighbor_list(
     def allocate(
         position, num_particles=None, capacity_boost: float = 1.0, **kwargs
     ) -> NeighborList:
-        """Size buffers from this sample and build the list."""
+        """Size buffers from this sample and build the list.
+
+        The pallas VMEM-admissibility check is a host-side ESTIMATE of the
+        kernel's scoped-VMEM footprint; the compiler's own accounting can
+        disagree for unusual shapes (fat cutoffs -> few, huge columns). If
+        the first update compile dies with a VMEM OOM, rebuild on the XLA
+        celllist backend for this allocation instead of crashing — the same
+        degradation the estimator applies when it predicts inadmissibility.
+        """
         shell = allocate_shell(
             position, num_particles=num_particles, capacity_boost=capacity_boost
         )
-        return shell.update_fn(
-            jnp.asarray(position), None, num_particles=num_particles
-        )
+        try:
+            return shell.update_fn(
+                jnp.asarray(position), None, num_particles=num_particles
+            )
+        except Exception as e:  # noqa: BLE001 — filtered to VMEM OOM below
+            msg = str(e).lower()
+            if "vmem" not in msg or backend != "pallas" or format == "slot":
+                raise
+            warnings.warn(
+                "pallas neighbor kernel exceeded the compiler's scoped-VMEM "
+                "limit (the host-side admissibility estimate was "
+                "optimistic); falling back to the celllist backend for "
+                "this allocation"
+            )
+            shell = allocate_shell(
+                position,
+                num_particles=num_particles,
+                capacity_boost=capacity_boost,
+                backend_override="celllist",
+            )
+            return shell.update_fn(
+                jnp.asarray(position), None, num_particles=num_particles
+            )
 
     def update(position, neighbors: NeighborList, num_particles=None, **kwargs):
         return neighbors.update_fn(position, neighbors, num_particles=num_particles)

@@ -108,8 +108,12 @@ def main():
             # every 3 substeps) + tight capacity keep it ~1.5x faster,
             # and the ensemble is 20 trajectories (14/3/3 split) with the
             # last two test trajectories long for 400-step rollouts.
+            # backend pinned: the fat SPH cutoff (3dx in a 6.7-cell box)
+            # is outside the column-Pallas kernel's shape envelope; pinning
+            # celllist avoids one failed ~40s pallas compile per-trajectory
+            # allocation before the runtime VMEM fallback kicks in
             wcsph.generate_tgv_ensemble(
-                args.sim_dir, dim=3,
+                args.sim_dir, dim=3, backend="celllist",
                 nl_skin_h=0.25, capacity_multiplier=1.5,
                 **opts(n_side=20, n_trajs=20, n_frames=126, write_every=40,
                        visc=0.01, rng_seed=0, n_frames_last=426, n_last=2),

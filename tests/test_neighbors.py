@@ -124,3 +124,39 @@ def test_edge_capacity_is_lane_aligned():
     fns = neighbor_list(disp, [box] * 3, cutoff)
     nbrs = fns.allocate(jnp.asarray(rng.uniform(0, box, size=(n, 3))))
     assert nbrs.idx.shape[1] % 128 == 0
+
+
+def test_pallas_compile_vmem_oom_falls_back_to_celllist(monkeypatch):
+    """The host-side VMEM admissibility check is an estimate; when the
+    compiler's own scoped-VMEM accounting disagrees (seen with fat SPH
+    cutoffs: 35M needed vs the 16M limit), allocate() must degrade to the
+    celllist backend instead of crashing (ops/neighbors.py allocate)."""
+    from lagrangebench_tpu.ops import neighbors_pallas
+
+    def exploding_factory(**kwargs):
+        def edges(position, num_particles):
+            raise RuntimeError(
+                "Ran out of memory in memory space vmem while allocating"
+            )
+
+        return edges
+
+    monkeypatch.setattr(neighbors_pallas, "make_edges_fn", exploding_factory)
+    # force=True skips the TPU-only guard so the pallas path builds on CPU
+    box = np.array([1.0, 1.0])
+    disp, _ = periodic(jnp.asarray(box))
+    pos = jnp.asarray(np.random.default_rng(0).uniform(size=(64, 2)), jnp.float32)
+    fns = neighbor_list(
+        disp, box, 0.3, backend="pallas", format="dense", pbc=[True, True]
+    )
+    with pytest.warns(UserWarning, match="scoped-VMEM"):
+        nbrs = fns.allocate(pos)
+    # the fallback result must match a native celllist build
+    ref = neighbor_list(
+        disp, box, 0.3, backend="celllist", format="dense", pbc=[True, True]
+    ).allocate(pos)
+    got = {(int(i), int(s)) for i, row in enumerate(np.asarray(nbrs.idx))
+           for s in row if s < 64}
+    want = {(int(i), int(s)) for i, row in enumerate(np.asarray(ref.idx))
+           for s in row if s < 64}
+    assert got == want

@@ -185,3 +185,26 @@ def test_wcsph_ldc_lid_drags_fluid():
     fluid = tag == 0
     top = fluid & (r[:, 1] > box[1] - 6 * dx)
     assert v2n[top, 0].mean() > 0.02
+
+
+def test_wcsph_verlet_skin_matches_exact():
+    """Skin-built lists rebuild every nl_every substeps with a padded
+    cutoff; every pair term vanishes for q >= 2, so the trajectory must
+    match the rebuild-every-substep solver to float tolerance as long as
+    no pair closes by more than the skin between rebuilds."""
+    import jax.numpy as jnp
+
+    dx, box = 1.0 / 8, [1.0, 1.0]
+    rng = np.random.default_rng(3)
+    nl0, adv0, dt0 = make_sph(dx, box, backend="celllist")
+    nl1, adv1, dt1 = make_sph(
+        dx, box, backend="celllist", nl_skin_h=0.25, capacity_multiplier=1.5
+    )
+    assert dt0 == dt1  # the skin must not touch the CFL step
+    r, v = tgv_initial_state(8, rng, dim=2)
+    r, v = jnp.asarray(r, jnp.float64), jnp.asarray(v, jnp.float64)
+    ra, va, _ = adv0(r, v, nl0.allocate(r), 15)
+    rb, vb, nbrs = adv1(r, v, nl1.allocate(r), 15)
+    assert not bool(nbrs.did_buffer_overflow)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-8)
