@@ -518,7 +518,7 @@ def generate_tgv_ensemble(
     n_last: int = 0,
     nl_skin_h: float = 0.0,
     capacity_multiplier: float = 2.0,
-    backend: str = "auto",
+    backend: str = "celllist",
     verbose: bool = True,
 ) -> List[str]:
     """Simulate a Taylor-Green vortex ensemble to jax-sph layout.
@@ -586,6 +586,7 @@ def generate_dam_ensemble(
     visc: float = 0.01,
     c0: float = 15.0,
     g: float = 1.0,
+    backend: str = "celllist",
     verbose: bool = True,
 ) -> List[str]:
     """Simulate a 2D dam-break ensemble to jax-sph layout.
@@ -610,6 +611,7 @@ def generate_dam_ensemble(
         g_ext=[0.0, -g],
         wall_mask=wall_mask,
         free_surface=True,
+        backend=backend,
     )
     case_name = f"2D_DAM_{len(r0)}"
 
@@ -646,7 +648,8 @@ def generate_rpf_trajectory(
     seed: int = 100,
     rng_seed: int = 0,
     visc: float = 0.1,
-    c0: float = 10.0,
+    c0: float = 15.0,
+    backend: str = "celllist",
     verbose: bool = True,
 ) -> List[str]:
     """Simulate one long 2D reverse-Poiseuille trajectory to jax-sph layout.
@@ -665,7 +668,8 @@ def generate_rpf_trajectory(
     rng = np.random.default_rng(rng_seed)
     r, v, tag = rpf_initial_state(dx, rng, box=box)
     nl_fns, advance, dt = make_sph(
-        dx, box, visc=visc, c0=c0, pbc=[True, True], force_fn=rpf_force_fn
+        dx, box, visc=visc, c0=c0, pbc=[True, True], force_fn=rpf_force_fn,
+        backend=backend,
     )
     case_name = f"2D_RPF_{len(r)}"
     d = os.path.join(root, f"{case_name}_{seed}")
@@ -697,6 +701,7 @@ def generate_ldc_trajectory(
     visc: float = 0.01,
     c0: float = 10.0,
     u_lid: float = 1.0,
+    backend: str = "celllist",
     verbose: bool = True,
 ) -> List[str]:
     """Simulate one long 2D lid-driven-cavity trajectory to jax-sph layout.
@@ -716,6 +721,7 @@ def generate_ldc_trajectory(
         pbc=[False, False],
         wall_mask=wall_mask,
         free_surface=True,
+        backend=backend,
     )
     case_name = f"2D_LDC_{len(r)}"
     d = os.path.join(root, f"{case_name}_{seed}")

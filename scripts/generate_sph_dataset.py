@@ -127,9 +127,13 @@ def main():
             )
             split = split or "28_6_6"
         elif args.case == "rpf":
+            # c0 = 15 (Mach 0.078 at the ~1.2 terminal band speed; the
+            # first c0=10 run sat at Mach ~0.12 and went NaN during
+            # warmup on TPU) -> smaller CFL dt, so write_every/warmup
+            # scale by 1.5x to keep the same physical frame spacing
             wcsph.generate_rpf_trajectory(
                 args.sim_dir,
-                **opts(n_frames=1260, write_every=40, warmup_steps=12000,
+                **opts(n_frames=1260, write_every=60, warmup_steps=18000,
                        visc=0.1, rng_seed=0),
             )
             split = split or "80_10_10"
