@@ -74,15 +74,29 @@ def spatial_row(n: int) -> dict:
 
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [64000, 100000, 150000]
+    # CROSSOVER_PATHS=pallas,celllist measures a subset (e.g. only the new
+    # streamed-kernel rows) and merges into the existing table instead of
+    # re-measuring rows that already have committed numbers.
+    wanted = os.environ.get("CROSSOVER_PATHS", "pallas,celllist,spatial")
+    wanted = {p.strip() for p in wanted.split(",") if p.strip()}
+    fns = {"pallas": pallas_row, "celllist": celllist_row,
+           "spatial": spatial_row}
     rows = []
+    if os.path.exists("BENCH_crossover.json"):
+        with open("BENCH_crossover.json") as f:
+            rows = [r for r in json.load(f)
+                    if not (r.get("path") in wanted and r.get("n") in sizes)]
     for n in sizes:
-        for fn in (pallas_row, celllist_row, spatial_row):
+        for name in ("pallas", "celllist", "spatial"):
+            if name not in wanted:
+                continue
             try:
-                row = fn(n)
+                row = fns[name](n)
             except Exception as e:  # noqa: BLE001 — record, keep measuring
-                row = {"path": fn.__name__, "n": n, "error": repr(e)[:500]}
+                row = {"path": name, "n": n, "error": repr(e)[:500]}
             rows.append(row)
             print(json.dumps(row))
+    rows.sort(key=lambda r: (r.get("n", 0), r.get("path", "")))
     with open("BENCH_crossover.json", "w") as f:
         json.dump(rows, f, indent=1)
 
