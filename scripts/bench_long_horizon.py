@@ -45,12 +45,30 @@ def _load_trained(ckp_dir: str, data_dir: str, n_steps: int):
 
     cfg = load_yaml(os.path.join(ckp_dir, "config.yaml"))
     isl = cfg.model.input_seq_length
+    # Metadata/force via H5Dataset at a 1-step horizon; the positions come
+    # straight from the h5 file so a split that mixes short and long
+    # trajectories (e.g. the generated TGV-3D test split: one 126-frame +
+    # two 426-frame) can still serve the long-horizon window.
     data = H5Dataset(
         "test", dataset_path=data_dir,
-        input_seq_length=isl, extra_seq_length=n_steps,
+        input_seq_length=isl, extra_seq_length=1,
     )
     metadata = data.metadata
-    pos_full, ptype = data[0]  # (N, isl + n_steps, dim), (N,)
+    import h5py
+
+    need = isl + n_steps
+    with h5py.File(os.path.join(data_dir, "test.h5"), "r") as f:
+        keys = sorted(f.keys())
+        lengths = {k: f[f"{k}/position"].shape[0] for k in keys}
+        pick = max(keys, key=lambda k: lengths[k])
+        assert lengths[pick] >= need, (
+            f"longest test trajectory ({lengths[pick]} frames) is shorter "
+            f"than isl + LONG_STEPS = {need}"
+        )
+        pos_full = f[f"{pick}/position"][:need].transpose(1, 0, 2)
+        ptype = f[f"{pick}/particle_type"][:]
+    print(f"# trajectory {pick}: {lengths[pick]} frames, using {need}",
+          file=sys.stderr)
     bounds = np.asarray(metadata["bounds"])
     box = (bounds[:, 1] - bounds[:, 0]).tolist()
     case = case_builder(
